@@ -1,0 +1,105 @@
+"""Group actions on prediction-network outputs (invert_canonicalization).
+
+TPU-native equivalent of reference equiadapt/images/utils.py:8-94
+(`roll_by_gather`, `get_action_on_image_features`). Feature maps are NHWC with
+regular-rep channels laid out C-major/G-minor: channel index = c * |G| + g,
+matching the reference's reshape (B, C//|G|, |G|, H, W) after transposition to
+channels-last.
+
+Correctness note (deliberate deviation): the reference's reflection blend in
+`get_action_on_image_features` (images/utils.py:62-64) multiplies the
+*unreflected* branch by the reflect indicator, which inverts the condition
+relative to its own `canonicalize` (discrete_group.py:209-211) and breaks the
+invert(apply(x)) round trip for roto-reflection groups. Here the blend is
+`(1 - r) * rotated + r * hflip(rotated)`, the group-theoretic inverse of
+canonicalize (verified by the round-trip property tests in
+tests/test_group_action.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from equiadapt_tpu.ops.warp import hflip, rotate
+
+Array = jnp.ndarray
+
+__all__ = ["roll_by_gather", "get_action_on_image_features"]
+
+
+def roll_by_gather(feature_map: Array, shifts: Array) -> Array:
+    """Cyclically roll the group fiber axis by per-sample shifts.
+
+    Args:
+        feature_map: (B, H, W, C, G) — fiber on the minor axis.
+        shifts: (B,) integer (or float, truncated like the reference's
+            `.long()`) shift amounts; output fiber g reads input fiber
+            (g - shift) mod G (reference images/utils.py:8-29).
+    """
+    G = feature_map.shape[-1]
+    shift_i = shifts.astype(jnp.int32)
+    fiber = jnp.arange(G, dtype=jnp.int32)[None, :]  # (1, G)
+    idx = jnp.mod(fiber - shift_i[:, None], G)  # (B, G)
+    return jnp.take_along_axis(
+        feature_map, idx[:, None, None, None, :], axis=-1
+    )
+
+
+def get_action_on_image_features(
+    feature_map: Array,
+    *,
+    num_rotations: int,
+    num_group: int,
+    rotation_deg: Array,
+    reflection: Optional[Array] = None,
+    induced_rep_type: str = "regular",
+) -> Array:
+    """Apply the stored group element to a canonical-frame output feature map.
+
+    Spatial part: rotate by +rotation_deg (undoing canonicalize's -rotation),
+    then conditionally hflip. Regular rep additionally rolls the channel
+    fiber: rotation fibers by +k, reflection fibers by -k, where
+    k = rotation_deg / 360 * num_rotations (reference images/utils.py:54-79).
+
+    Args:
+        feature_map: (B, H, W, C) NHWC; for "regular", C % num_group == 0 with
+            C-major/G-minor fiber layout.
+        num_rotations: |rotations| in the group.
+        num_group: |G| (== num_rotations or 2 * num_rotations).
+        rotation_deg: (B,) selected rotation angles in degrees.
+        reflection: (B,) soft reflect indicator, or None.
+        induced_rep_type: "regular" | "scalar" ("vector" is unimplemented in
+            the reference, images/utils.py:90-92, and likewise here).
+    """
+    B, H, W, C = feature_map.shape
+    if induced_rep_type == "regular":
+        if C % num_group != 0:
+            raise ValueError(
+                f"regular rep needs channels divisible by |G|={num_group}, got {C}"
+            )
+        x_out = rotate(feature_map, rotation_deg, padding_mode="zeros")
+        if reflection is not None:
+            r = reflection[:, None, None, None]
+            x_out = (1.0 - r) * x_out + r * hflip(x_out)
+        x_out = x_out.reshape(B, H, W, C // num_group, num_group)
+        shift = rotation_deg / 360.0 * num_rotations
+        if reflection is not None:
+            rot_f = roll_by_gather(x_out[..., :num_rotations], shift)
+            ref_f = roll_by_gather(x_out[..., num_rotations:], -shift)
+            x_out = jnp.concatenate([rot_f, ref_f], axis=-1)
+        else:
+            x_out = roll_by_gather(x_out, shift)
+        return x_out.reshape(B, H, W, C)
+    if induced_rep_type == "scalar":
+        x_out = rotate(feature_map, rotation_deg, padding_mode="zeros")
+        if reflection is not None:
+            r = reflection[:, None, None, None]
+            x_out = (1.0 - r) * x_out + r * hflip(x_out)
+        return x_out
+    if induced_rep_type == "vector":
+        raise NotImplementedError(
+            "Action for vector representation is not implemented (matches reference)"
+        )
+    raise ValueError("induced_rep_type must be regular, scalar or vector")

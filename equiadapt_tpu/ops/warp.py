@@ -1,0 +1,254 @@
+"""Image warping ops — the compute core of the image canonicalizers.
+
+TPU-native replacement for the reference's kornia calls
+(`K.geometry.rotate` at discrete_group.py:213, `K.geometry.warp_affine` at
+continuous_group.py:207, `F.affine_grid`/`F.grid_sample` at
+continuous_group.py:400-402). All ops are NHWC (TPU conv layout), pure
+functions, jit/vmap/pjit-safe, with per-sample transform parameters.
+
+Key numerics decisions (for functional parity with the reference):
+
+* `rotate` reproduces kornia.geometry.rotate: center ((W-1)/2, (H-1)/2),
+  angle in degrees, bilinear, forward map M = rotation about center, sampling
+  at src = M^{-1} dst. Positive angle matches kornia/OpenCV's convention.
+* The reference's pad(edge, 0.5*W) -> rotate -> center-crop chain
+  (discrete_group.py:207-215) is algebraically identical to rotating the
+  *unpadded* image with border-clamped ("edge") sampling: the padded image is
+  an edge-clamp extension and bilinear taps then interpolate between clamped
+  values. We therefore never materialize the 2x-sized padded image — one of
+  the main wins over the reference (4x less HBM traffic per warp).
+* 90-degree multiples land exactly on integer sample coordinates under the
+  (W-1)/2 center convention, so the bilinear path is *exact* for C4/D4 —
+  no separate rot90 fast path is needed for correctness.
+* `affine_grid_sample` reproduces F.affine_grid + F.grid_sample with
+  align_corners=False for the optimized-steerable augmentation path.
+
+Implementation: one flattened gather of the 4 bilinear taps. XLA lowers the
+(B, Ho*Wo) row-gather over an (B, H*W, C) operand to dynamic-slice loads with
+the channel dim contiguous in lanes — bandwidth-bound, which is the floor for
+a resampling op.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+__all__ = [
+    "hflip",
+    "rotate",
+    "warp_affine",
+    "affine_grid_sample",
+    "bilinear_sample",
+    "center_crop",
+    "resize",
+    "group_angles",
+]
+
+
+def hflip(x: Array) -> Array:
+    """Horizontal flip (width axis) of an NHWC image batch."""
+    return x[:, :, ::-1, :]
+
+
+def group_angles(num_rotations: int, dtype=jnp.float32) -> Array:
+    """Rotation-angle table: linspace(0, 360, n+1)[:n] in degrees.
+
+    Matches reference discrete_group.py:110-112 — host-side constant.
+    """
+    return jnp.linspace(0.0, 360.0, num_rotations + 1, dtype=dtype)[:num_rotations]
+
+
+def bilinear_sample(
+    x: Array, src_x: Array, src_y: Array, padding_mode: str = "zeros"
+) -> Array:
+    """Bilinear sampling of NHWC images at float pixel coordinates.
+
+    Args:
+        x: (B, H, W, C) input images.
+        src_x, src_y: (B, Ho, Wo) sample coordinates in *pixel* units.
+        padding_mode: "zeros" (out-of-bounds taps contribute 0, like
+            grid_sample's zeros mode) or "border" (coordinates clamped to the
+            edge — equivalent to the reference's edge-pad + crop chain).
+
+    Returns:
+        (B, Ho, Wo, C) sampled images.
+    """
+    B, H, W, C = x.shape
+    Ho, Wo = src_x.shape[1], src_x.shape[2]
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+
+    sx = src_x.astype(compute_dtype)
+    sy = src_y.astype(compute_dtype)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    x_flat = x.reshape(B, H * W, C).astype(compute_dtype)
+
+    def tap(xi: Array, yi: Array, w: Array) -> Array:
+        if padding_mode == "border":
+            xc = jnp.clip(xi, 0, W - 1)
+            yc = jnp.clip(yi, 0, H - 1)
+            wt = w
+        elif padding_mode == "zeros":
+            valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+            xc = jnp.clip(xi, 0, W - 1)
+            yc = jnp.clip(yi, 0, H - 1)
+            wt = w * valid.astype(compute_dtype)
+        else:
+            raise ValueError(f"padding_mode must be zeros or border, got {padding_mode}")
+        idx = (yc * W + xc).reshape(B, Ho * Wo)
+        vals = jnp.take_along_axis(x_flat, idx[:, :, None], axis=1)
+        return vals.reshape(B, Ho, Wo, C) * wt[..., None]
+
+    out = (
+        tap(x0i, y0i, (1.0 - fx) * (1.0 - fy))
+        + tap(x0i + 1, y0i, fx * (1.0 - fy))
+        + tap(x0i, y0i + 1, (1.0 - fx) * fy)
+        + tap(x0i + 1, y0i + 1, fx * fy)
+    )
+    return out.astype(x.dtype)
+
+
+def _dst_grid(B: int, Ho: int, Wo: int, dtype) -> Tuple[Array, Array]:
+    """Destination pixel-coordinate grids, broadcast to the batch."""
+    ys = jnp.arange(Ho, dtype=dtype)
+    xs = jnp.arange(Wo, dtype=dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    return (
+        jnp.broadcast_to(gx[None], (B, Ho, Wo)),
+        jnp.broadcast_to(gy[None], (B, Ho, Wo)),
+    )
+
+
+def rotate(
+    x: Array,
+    angle_deg: Array,
+    padding_mode: str = "zeros",
+    center: Optional[Tuple[float, float]] = None,
+) -> Array:
+    """Per-sample rotation, kornia.geometry.rotate semantics.
+
+    dst(xd, yd) = src( a*(xd-cx) - b*(yd-cy) + cx,  b*(xd-cx) + a*(yd-cy) + cy )
+    with a = cos(angle), b = sin(angle), center = ((W-1)/2, (H-1)/2).
+
+    Args:
+        x: (B, H, W, C).
+        angle_deg: (B,) or scalar, degrees (kornia sign convention).
+        padding_mode: "zeros" (kornia default) or "border" (see module doc —
+            replaces the reference's pad/crop sandwich, discrete_group.py:207-215).
+        center: optional (cx, cy) override in pixel units.
+    """
+    B, H, W, _ = x.shape
+    dtype = jnp.promote_types(x.dtype, jnp.float32)
+    angle = jnp.broadcast_to(jnp.asarray(angle_deg, dtype), (B,))
+    rad = angle * (math.pi / 180.0)
+    a = jnp.cos(rad)[:, None, None]
+    b = jnp.sin(rad)[:, None, None]
+    if center is None:
+        cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    else:
+        cx, cy = center
+    gx, gy = _dst_grid(B, H, W, dtype)
+    dx = gx - cx
+    dy = gy - cy
+    src_x = a * dx - b * dy + cx
+    src_y = b * dx + a * dy + cy
+    return bilinear_sample(x, src_x, src_y, padding_mode=padding_mode)
+
+
+def warp_affine(
+    x: Array,
+    affine: Array,
+    dsize: Optional[Tuple[int, int]] = None,
+    padding_mode: str = "zeros",
+) -> Array:
+    """Per-sample affine warp, kornia.geometry.warp_affine semantics.
+
+    `affine` is the 2x3 *forward* map in pixel coordinates (src -> dst, as
+    built by the reference at continuous_group.py:195-204); sampling inverts
+    it: src = A^{-1}(dst - t).
+
+    Args:
+        x: (B, H, W, C).
+        affine: (B, 2, 3) forward affine matrices [R | t] with rows (x, y).
+        dsize: output (H, W); defaults to input size.
+        padding_mode: "zeros" or "border".
+    """
+    B, H, W, _ = x.shape
+    Ho, Wo = dsize if dsize is not None else (H, W)
+    dtype = jnp.promote_types(x.dtype, jnp.float32)
+    A = affine.astype(dtype)
+    r00, r01, t0 = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
+    r10, r11, t1 = A[:, 1, 0], A[:, 1, 1], A[:, 1, 2]
+    det = r00 * r11 - r01 * r10
+    inv_det = 1.0 / det
+    i00 = r11 * inv_det
+    i01 = -r01 * inv_det
+    i10 = -r10 * inv_det
+    i11 = r00 * inv_det
+
+    gx, gy = _dst_grid(B, Ho, Wo, dtype)
+    ux = gx - t0[:, None, None]
+    uy = gy - t1[:, None, None]
+    src_x = i00[:, None, None] * ux + i01[:, None, None] * uy
+    src_y = i10[:, None, None] * ux + i11[:, None, None] * uy
+    return bilinear_sample(x, src_x, src_y, padding_mode=padding_mode)
+
+
+def affine_grid_sample(
+    x: Array, theta: Array, padding_mode: str = "zeros"
+) -> Array:
+    """F.affine_grid + F.grid_sample (align_corners=False) equivalent.
+
+    `theta` (B, 2, 3) maps *output* normalized coords to *input* normalized
+    coords (torch convention; reference continuous_group.py:400-402). With
+    align_corners=False a normalized coordinate g maps to pixel
+    ((g + 1) * size - 1) / 2.
+
+    Args:
+        x: (B, H, W, C).
+        theta: (B, 2, 3).
+    """
+    B, H, W, _ = x.shape
+    dtype = jnp.promote_types(x.dtype, jnp.float32)
+    th = theta.astype(dtype)
+    gx, gy = _dst_grid(B, H, W, dtype)
+    # output pixel -> output normalized (align_corners=False)
+    nx = (2.0 * gx + 1.0) / W - 1.0
+    ny = (2.0 * gy + 1.0) / H - 1.0
+    sx_n = th[:, 0, 0, None, None] * nx + th[:, 0, 1, None, None] * ny + th[:, 0, 2, None, None]
+    sy_n = th[:, 1, 0, None, None] * nx + th[:, 1, 1, None, None] * ny + th[:, 1, 2, None, None]
+    # input normalized -> input pixel (align_corners=False)
+    src_x = ((sx_n + 1.0) * W - 1.0) / 2.0
+    src_y = ((sy_n + 1.0) * H - 1.0) / 2.0
+    return bilinear_sample(x, src_x, src_y, padding_mode=padding_mode)
+
+
+def center_crop(x: Array, size: Tuple[int, int]) -> Array:
+    """torchvision CenterCrop semantics on NHWC (crop_top = round((H-h)/2))."""
+    H, W = x.shape[1], x.shape[2]
+    h, w = size
+    top = int(round((H - h) / 2.0))
+    left = int(round((W - w) / 2.0))
+    return x[:, top : top + h, left : left + w, :]
+
+
+def resize(x: Array, size: Tuple[int, int], method: str = "linear") -> Array:
+    """Bilinear resize (half-pixel convention, no antialias) on NHWC.
+
+    Replaces torchvision transforms.Resize for the pre-canonicalization
+    downscale (reference discrete_group.py:88-92). jax.image.resize's
+    "linear" uses the half-pixel-centers convention (align_corners=False).
+    """
+    B, _, _, C = x.shape
+    return jax.image.resize(x, (B, size[0], size[1], C), method=method)
