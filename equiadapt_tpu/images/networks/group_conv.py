@@ -1,0 +1,233 @@
+"""Discrete-group equivariant convolutions (C_n / D_n GCNN layers), NHWC.
+
+TPU-native rebuild of the reference's custom group-equivariant layers
+(reference: equiadapt/images/canonicalization_networks/
+custom_group_equivariant_layers.py:9,114,229,364). Differences by design:
+
+* NHWC / HWIO layouts; the whole |G| filter bank is materialized with one
+  batched `rotate` (per-element angles) and the convolution is a single
+  `lax.conv_general_dilated` over C*|G| channels — XLA tiles it onto the MXU.
+  No per-element Python loops, no `device="cuda"` construction-time pinning
+  (a reference wart, custom_group_equivariant_layers.py:30).
+* Fiber permutation indices for the group-group convs are host-side numpy
+  constants baked into the trace (static shapes, gather-free weight
+  transform via `jnp.take` on a constant index array).
+* Output fiber layout is C-major/G-minor: channel index = c * |G| + g,
+  matching ops/group_action.py's invert roll.
+
+Group math (dihedral D_n, elements {r_k} ∪ {m r_k}):
+  transformed filter for output element u is w'_u(h) = π(u)[w](u^{-1} h);
+  for u = r_j:   u^{-1} r_k = r_{k-j},  u^{-1}(m r_k) = m r_{k+j}
+  for u = m r_j: u^{-1} r_k = m r_{k+j}, u^{-1}(m r_k) = r_{k-j}
+  with π(r_j) = spatial rotation by theta_j and pi(m r_j) = rotation then
+  hflip — reproducing the reference's four-block permutation structure
+  (custom_group_equivariant_layers.py:420-459) from first principles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from equiadapt_tpu.ops.warp import group_angles, rotate
+
+Array = jnp.ndarray
+
+__all__ = [
+    "RotationEquivariantConvLift",
+    "RotoReflectionEquivariantConvLift",
+    "RotationEquivariantConv",
+    "RotoReflectionEquivariantConv",
+]
+
+
+def _kaiming_uniform(key, shape, dtype=jnp.float32):
+    """torch kaiming_uniform_(a=sqrt(5)) on conv weights: U(+-1/sqrt(fan_in)).
+
+    fan_in = prod(shape[:-1]) for HWIO-style layouts used here.
+    """
+    fan_in = int(np.prod(shape[:-1]))
+    bound = 1.0 / np.sqrt(fan_in)
+    import jax.random as jr
+
+    return jr.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def _conv2d(x: Array, w: Array, stride: int, padding: int) -> Array:
+    """NHWC x HWIO conv with integer symmetric padding."""
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _rotate_bank(w_img: Array, angles: Array) -> Array:
+    """Rotate a filter bank by per-element angles.
+
+    Args:
+        w_img: (K, K, F) filters as one image.
+        angles: (G,) degrees.
+
+    Returns:
+        (G, K, K, F) rotated filters (bilinear, zeros fill, kornia
+        semantics — exact for 90-degree multiples).
+    """
+    G = angles.shape[0]
+    tiled = jnp.broadcast_to(w_img[None], (G,) + w_img.shape)
+    return rotate(tiled, angles, padding_mode="zeros")
+
+
+class RotationEquivariantConvLift(nn.Module):
+    """Lifting conv: scalar input -> C_n regular-rep feature map.
+
+    Output (B, H', W', out_channels * num_rotations), fiber C-major/G-minor.
+    Reference: custom_group_equivariant_layers.py:9-111.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    num_rotations: int = 4
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        K, Ci, Co, G = self.kernel_size, self.in_channels, self.out_channels, self.num_rotations
+        w = self.param("weights", _kaiming_uniform, (K, K, Ci, Co))
+        angles = group_angles(G)
+        bank = _rotate_bank(w.reshape(K, K, Ci * Co), angles)  # (G,K,K,Ci*Co)
+        # -> HWIO with out channel index c*G + g
+        bank = bank.reshape(G, K, K, Ci, Co).transpose(1, 2, 3, 4, 0).reshape(K, K, Ci, Co * G)
+        y = _conv2d(x, bank, self.stride, self.padding)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (Co,))
+            y = y + jnp.repeat(b, G)[None, None, None, :]
+        return y
+
+
+class RotoReflectionEquivariantConvLift(nn.Module):
+    """Lifting conv: scalar input -> D_n regular-rep feature map.
+
+    Fiber order: [r_0..r_{n-1}, m r_0..m r_{n-1}] (rotations then
+    reflections), matching the reference's concatenation
+    (custom_group_equivariant_layers.py:169-199).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    num_rotations: int = 4
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        K, Ci, Co, n = self.kernel_size, self.in_channels, self.out_channels, self.num_rotations
+        G = 2 * n
+        w = self.param("weights", _kaiming_uniform, (K, K, Ci, Co))
+        angles = group_angles(n)
+        rot = _rotate_bank(w.reshape(K, K, Ci * Co), angles)  # (n,K,K,Ci*Co)
+        ref = rot[:, :, ::-1, :]  # hflip on the width axis
+        bank = jnp.concatenate([rot, ref], axis=0)  # (G,K,K,Ci*Co)
+        bank = bank.reshape(G, K, K, Ci, Co).transpose(1, 2, 3, 4, 0).reshape(K, K, Ci, Co * G)
+        y = _conv2d(x, bank, self.stride, self.padding)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (Co,))
+            y = y + jnp.repeat(b, G)[None, None, None, :]
+        return y
+
+
+def _rotation_perm_indices(n: int) -> np.ndarray:
+    """(n, n) index table: out element j reads input fiber (k - j) mod n."""
+    k = np.arange(n)[None, :]
+    j = np.arange(n)[:, None]
+    return (k - j) % n
+
+
+def _dihedral_perm_indices(n: int) -> np.ndarray:
+    """(2n, 2n) fiber gather table for D_n (see module docstring derivation)."""
+    fwd = _rotation_perm_indices(n)  # (k - j) % n
+    inv = (np.arange(n)[None, :] + np.arange(n)[:, None]) % n  # (k + j) % n
+    upper = np.concatenate([fwd, inv + n], axis=1)  # rotation outputs
+    lower = np.concatenate([inv + n, fwd], axis=1)  # reflection outputs
+    return np.concatenate([upper, lower], axis=0)
+
+
+class RotationEquivariantConv(nn.Module):
+    """Group-to-group conv on C_n regular-rep feature maps.
+
+    Input/output (B, H, W, C * n) with C-major/G-minor fiber.
+    Reference: custom_group_equivariant_layers.py:229-361.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    num_rotations: int = 4
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        K, Ci, Co, n = self.kernel_size, self.in_channels, self.out_channels, self.num_rotations
+        w = self.param("weights", _kaiming_uniform, (K, K, Ci, n, Co))
+        perm = jnp.asarray(_rotation_perm_indices(n))  # (n_out, n_in)
+        # permuted[j] = w[..., (k-j)%n, :] then rotate by theta_j
+        wp = jnp.take(w, perm, axis=3)  # (K,K,Ci,n_out,n_in,Co)
+        wp = wp.transpose(3, 0, 1, 2, 4, 5).reshape(n, K, K, Ci * n * Co)
+        bank = rotate(wp, group_angles(n), padding_mode="zeros")
+        # (n_out,K,K,Ci,n_in,Co) -> HWIO (K,K,Ci*n_in, Co*n_out)
+        bank = bank.reshape(n, K, K, Ci, n, Co).transpose(1, 2, 3, 4, 5, 0)
+        bank = bank.reshape(K, K, Ci * n, Co * n)
+        y = _conv2d(x, bank, self.stride, self.padding)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (Co,))
+            y = y + jnp.repeat(b, n)[None, None, None, :]
+        return y
+
+
+class RotoReflectionEquivariantConv(nn.Module):
+    """Group-to-group conv on D_n regular-rep feature maps.
+
+    Reference: custom_group_equivariant_layers.py:364-538; the fiber gather
+    table is derived from the dihedral composition law (module docstring).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    num_rotations: int = 4
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        K, Ci, Co, n = self.kernel_size, self.in_channels, self.out_channels, self.num_rotations
+        G = 2 * n
+        w = self.param("weights", _kaiming_uniform, (K, K, Ci, G, Co))
+        perm = jnp.asarray(_dihedral_perm_indices(n))  # (G_out, G_in)
+        wp = jnp.take(w, perm, axis=3)  # (K,K,Ci,G_out,G_in,Co)
+        wp = wp.transpose(3, 0, 1, 2, 4, 5).reshape(G, K, K, Ci * G * Co)
+        angles = jnp.concatenate([group_angles(n), group_angles(n)])
+        bank = rotate(wp, angles, padding_mode="zeros")
+        # hflip the filters of the reflection outputs
+        bank = jnp.concatenate([bank[:n], bank[n:, :, ::-1, :]], axis=0)
+        bank = bank.reshape(G, K, K, Ci, G, Co).transpose(1, 2, 3, 4, 5, 0)
+        bank = bank.reshape(K, K, Ci * G, Co * G)
+        y = _conv2d(x, bank, self.stride, self.padding)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (Co,))
+            y = y + jnp.repeat(b, G)[None, None, None, :]
+        return y
