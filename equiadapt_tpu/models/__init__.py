@@ -1,0 +1,35 @@
+from equiadapt_tpu.models.egnn import GCL, GNN, NBodyTransformer, edge_attributes
+from equiadapt_tpu.models.pointnet import (
+    DGCNN,
+    DGCNNPartSeg,
+    PointNet,
+    TransformNet,
+    get_graph_feature,
+)
+from equiadapt_tpu.models.resnet import (
+    ResNet,
+    ResNet18,
+    ResNet50,
+    WideResNet50,
+    WideResNet101,
+)
+from equiadapt_tpu.models.vit import ViT, ViTB16
+
+__all__ = [
+    "GCL",
+    "GNN",
+    "NBodyTransformer",
+    "edge_attributes",
+    "DGCNN",
+    "DGCNNPartSeg",
+    "PointNet",
+    "TransformNet",
+    "get_graph_feature",
+    "ResNet",
+    "ResNet18",
+    "ResNet50",
+    "WideResNet50",
+    "WideResNet101",
+    "ViT",
+    "ViTB16",
+]

@@ -1,0 +1,110 @@
+"""VN-Small frame estimator and kNN graph features for point clouds.
+
+TPU-native rebuild of reference equiadapt/pointcloud/
+canonicalization_networks/equivariant_networks.py:15-150. The O(N^2) kNN is
+one batched matmul + top_k on the MXU (SURVEY.md §5's prescription), and the
+neighbor gather is a single take_along_axis — no index flattening.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from equiadapt_tpu.pointcloud.vector_neurons import (
+    VNBatchNorm,
+    VNLinearLeakyReLU,
+    VNMaxPool,
+    mean_pool,
+)
+
+Array = jnp.ndarray
+
+__all__ = ["knn_indices", "graph_feature_cross", "VNSmall"]
+
+
+def knn_indices(points: Array, k: int) -> Array:
+    """k nearest neighbors by negative squared distance.
+
+    Args:
+        points: (B, N, 3).
+
+    Returns:
+        (B, N, k) int32 neighbor indices (reference equivariant_networks.py:15-33:
+        -||x_i - x_j||^2 top-k, self included).
+    """
+    inner = jnp.einsum("bnd,bmd->bnm", points, points)
+    sq = jnp.sum(points**2, axis=-1)
+    neg_dist = 2 * inner - sq[:, :, None] - sq[:, None, :]
+    _, idx = jax.lax.top_k(neg_dist, k)
+    return idx
+
+
+def graph_feature_cross(x: Array, k: int, idx: Optional[Array] = None) -> Array:
+    """Cross-product edge features (reference equivariant_networks.py:36-76).
+
+    Args:
+        x: (B, N, 3, C) VN features (C vector channels per point).
+
+    Returns:
+        (B, N, k, 3, 3C): per edge, concat(neighbor - x, x, neighbor `cross` x)
+        on the channel axis.
+    """
+    B, N, three, C = x.shape
+    if idx is None:
+        # kNN on the flattened vector coordinates, like the reference's
+        # view(batch, -1, num_points)
+        pts = x.reshape(B, N, three * C)
+        idx = knn_indices(pts, k)
+    # gather neighbor features: (B, N, k, 3, C)
+    feat = jnp.take_along_axis(
+        x[:, :, None], idx[..., None, None], axis=1
+    )
+    center = jnp.broadcast_to(x[:, :, None], feat.shape)
+    cross = jnp.cross(feat, center, axisa=-2, axisb=-2, axisc=-2)
+    return jnp.concatenate([feat - center, center, cross], axis=-1)
+
+
+class VNSmall(nn.Module):
+    """Small VN frame estimator -> three equivariant 3-vectors per cloud.
+
+    Reference equivariant_networks.py:79-150: conv_pos on kNN cross features,
+    pool over neighbors, conv1 + bn1, conv2 (-> 4 channels), dropout, mean
+    over points, first 3 channels as the (B, 3, 3) frame vectors.
+    """
+
+    n_knn: int = 20
+    pooling: str = "mean"
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, point_cloud: Array, training: bool = False) -> Array:
+        """point_cloud: (B, N, 3) -> (B, 3, 3) rows = equivariant vectors."""
+        x = point_cloud[..., None]  # (B, N, 3, 1)
+        feat = graph_feature_cross(x, k=self.n_knn)  # (B, N, k, 3, 3)
+        out = VNLinearLeakyReLU(64 // 3, negative_slope=0.0, name="conv_pos")(
+            feat, training=training
+        )
+        if self.pooling == "max":
+            B, N, k, three, C = out.shape
+            pooled = VNMaxPool(name="pool")(
+                out.reshape(B * N, k, three, C)
+            ).reshape(B, N, three, C)
+        elif self.pooling == "mean":
+            pooled = mean_pool(out, axis=2)
+        else:
+            raise ValueError(f"Pooling type {self.pooling} not supported")
+
+        h = VNLinearLeakyReLU(64 // 3, negative_slope=0.0, name="conv1")(
+            pooled, training=training
+        )
+        h = VNBatchNorm(name="bn1")(h, training=training)
+        h = VNLinearLeakyReLU(12 // 3, negative_slope=0.0, name="conv2")(
+            h, training=training
+        )
+        h = nn.Dropout(self.dropout_rate, deterministic=not training)(h)
+        v = jnp.mean(h, axis=1)  # (B, 3, C=4)
+        return jnp.moveaxis(v, -1, -2)[:, :3]  # (B, 3 vectors, 3)

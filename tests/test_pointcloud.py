@@ -1,0 +1,139 @@
+"""Point-cloud VN layer and canonicalization tests.
+
+Anchor property: every VN layer commutes with a global rotation
+x -> x @ Q (exact SO(3) equivariance, fp32 tolerance), and the
+canonicalized cloud is rotation-invariant — the contract of
+reference pointcloud/canonicalization/continuous_group.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from equiadapt_tpu.common.lie import son_rep
+from equiadapt_tpu.pointcloud import (
+    EquivariantPointcloudCanonicalization,
+    VNBatchNorm,
+    VNLeakyReLU,
+    VNLinear,
+    VNLinearLeakyReLU,
+    VNMaxPool,
+    VNSmall,
+    VNSoftplus,
+    VNStdFeature,
+    graph_feature_cross,
+    knn_indices,
+)
+
+KEY = jax.random.key(0)
+
+
+def _rot(seed=0, b=2):
+    rng = np.random.default_rng(seed)
+    params = jnp.asarray(rng.normal(size=(b, 3)).astype(np.float32))
+    return son_rep(params, 3)  # (b, 3, 3)
+
+
+def _feat(b=2, n=16, c=8, seed=1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b, n, 3, c)).astype(np.float32))
+
+
+def _apply_rot(x, Q):
+    """Rotate every 3-vector: x (B, ..., 3, C), Q (B, 3, 3): v -> Q^T v? No:
+    rows as points convention -> v' = v @ Q means contraction on the vector
+    axis."""
+    return jnp.einsum("b...vc,bvw->b...wc", x, Q)
+
+
+@pytest.mark.parametrize(
+    "layer_ctor",
+    [
+        lambda: VNLinear(out_channels=5),
+        lambda: VNLeakyReLU(),
+        lambda: VNSoftplus(),
+        lambda: VNLinearLeakyReLU(out_channels=6),
+        lambda: VNBatchNorm(),
+    ],
+)
+def test_vn_layers_equivariant(layer_ctor):
+    layer = layer_ctor()
+    x = _feat()
+    params = layer.init(KEY, x)
+    Q = _rot()
+    y = layer.apply(params, x)
+    y_rot = layer.apply(params, _apply_rot(x, Q))
+    np.testing.assert_allclose(
+        np.asarray(y_rot), np.asarray(_apply_rot(y, Q)), atol=1e-4
+    )
+
+
+def test_vn_maxpool_equivariant():
+    pool = VNMaxPool()
+    x = _feat()
+    params = pool.init(KEY, x)
+    Q = _rot()
+    y = pool.apply(params, x)  # (B, 3, C)
+    y_rot = pool.apply(params, _apply_rot(x, Q))
+    np.testing.assert_allclose(
+        np.asarray(y_rot), np.asarray(jnp.einsum("bvc,bvw->bwc", y, Q)), atol=1e-4
+    )
+
+
+def test_vn_std_feature_invariant_with_normalized_frame():
+    std = VNStdFeature(normalize_frame=True)
+    x = _feat(c=8)
+    params = std.init(KEY, x)
+    Q = _rot()
+    y, _ = std.apply(params, x)
+    y_rot, _ = std.apply(params, _apply_rot(x, Q))
+    np.testing.assert_allclose(np.asarray(y_rot), np.asarray(y), atol=1e-3)
+
+
+def test_knn_and_graph_features():
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
+    idx = knn_indices(pts, 5)
+    assert idx.shape == (2, 32, 5)
+    # nearest neighbor of each point is itself
+    np.testing.assert_array_equal(np.asarray(idx[..., 0]), np.arange(32)[None].repeat(2, 0))
+    feat = graph_feature_cross(pts[..., None], k=5)
+    assert feat.shape == (2, 32, 5, 3, 3)
+
+
+def test_vnsmall_equivariance_and_canonicalization_invariance():
+    net = VNSmall(n_knn=6, pooling="mean")
+    rng = np.random.default_rng(4)
+    pts = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
+    params = net.init(KEY, pts)
+    Q = _rot(seed=9)
+    v = net.apply(params, pts)  # (B, 3, 3)
+    v_rot = net.apply(params, jnp.einsum("bnd,bdw->bnw", pts, Q))
+    np.testing.assert_allclose(
+        np.asarray(v_rot), np.asarray(jnp.einsum("bkd,bdw->bkw", v, Q)), atol=1e-3
+    )
+
+    canon = EquivariantPointcloudCanonicalization(canonicalization_network=net)
+    cparams = canon.init(KEY, pts)
+    x_c, info = canon.apply(cparams, pts)
+    x_c_rot, _ = canon.apply(cparams, jnp.einsum("bnd,bdw->bnw", pts, Q))
+    np.testing.assert_allclose(np.asarray(x_c_rot), np.asarray(x_c), atol=1e-3)
+    # rotation is orthonormal
+    R = np.asarray(info.element.rotation)
+    np.testing.assert_allclose(
+        R @ R.transpose(0, 2, 1), np.broadcast_to(np.eye(3), R.shape), atol=1e-5
+    )
+    # invert round-trips
+    back = canon.invert_canonicalization(info, x_c)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-4)
+
+
+def test_vnsmall_maxpool_variant_runs():
+    net = VNSmall(n_knn=4, pooling="max")
+    rng = np.random.default_rng(5)
+    pts = jnp.asarray(rng.normal(size=(2, 16, 3)).astype(np.float32))
+    params = net.init(KEY, pts)
+    v = net.apply(params, pts)
+    assert v.shape == (2, 3, 3)
+    assert np.isfinite(np.asarray(v)).all()
