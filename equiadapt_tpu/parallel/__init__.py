@@ -1,0 +1,8 @@
+from equiadapt_tpu.parallel.mesh import (
+    data_parallel_jit,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+__all__ = ["data_parallel_jit", "make_mesh", "replicate", "shard_batch"]

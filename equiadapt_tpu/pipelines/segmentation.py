@@ -1,0 +1,214 @@
+"""Instance-segmentation pipeline: joint image+target canonicalization.
+
+TPU-native rebuild of reference examples/images/segmentation/model.py:13-297
+and inference_utils.py:13-281. The canonicalizer transforms images AND
+targets (boxes, masks) together — fully batched (the reference loops per
+image, model.py:121 + discrete_group.py:217-236) — then a promptable
+segmentation model predicts masks from the canonicalized boxes, and
+predicted masks are mapped back by invert_canonicalization (scalar induced
+rep). Task loss = 20*focal + dice + iou-MSE (reference apply_loss
+model.py:58-106); prior regularization makes the frozen-model
+(SAM) finetuning flow work.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from equiadapt_tpu.common.info import (
+    IdentityCanonicalizationInfo,
+    prior_regularization_loss,
+)
+from equiadapt_tpu.models.segmentation import calc_iou, dice_loss, focal_loss
+from equiadapt_tpu.pipelines.classification import TrainState
+
+Array = jnp.ndarray
+
+__all__ = [
+    "ImageSegmentationPipeline",
+    "segmentation_task_loss",
+    "make_segmentation_train_step",
+    "create_segmentation_state",
+    "mask_iou_map_metric",
+]
+
+
+class ImageSegmentationPipeline(nn.Module):
+    """canonicalize(images, targets) -> promptable predict -> invert masks."""
+
+    canonicalizer: nn.Module
+    prediction_network: nn.Module  # e.g. models.segmentation.SAMLite
+
+    @nn.compact
+    def __call__(
+        self,
+        images: Array,
+        targets: Dict[str, Array],
+        training: bool = False,
+    ):
+        """images: (B, H, W, 3); targets: boxes (B, N, 4), masks (B, N, H, W),
+        labels (B, N), valid (B, N) {0,1} prompt mask (static shapes with
+        padded prompts — the TPU replacement for ragged per-image lists).
+        """
+        out = self.canonicalizer(images, targets, training=training)
+        images_c, targets_c, info = out
+        pred_masks, ious = self.prediction_network(
+            images_c, targets_c["boxes"], training=training
+        )
+        return (images_c, targets_c, pred_masks, ious), info
+
+    def invert_masks(self, info, masks: Array) -> Array:
+        """Map predicted masks back to the input frame (scalar induced rep).
+        masks: (B, N, H, W) -> same, un-canonicalized."""
+        nhwc = jnp.moveaxis(masks, 1, -1)  # (B, H, W, N)
+        out = self.canonicalizer.invert_canonicalization(
+            info, nhwc, induced_rep_type="scalar"
+        )
+        return jnp.moveaxis(out, -1, 1)
+
+
+def segmentation_task_loss(
+    pred_masks: Array, ious: Array, targets: Dict[str, Array]
+) -> Tuple[Array, Dict[str, Array]]:
+    """20*focal + dice + MSE(iou_pred, iou(pred, gt)) over valid prompts
+    (reference apply_loss, segmentation/model.py:58-106)."""
+    gt = targets["masks"].astype(jnp.float32)
+    valid = targets.get("valid")
+    if valid is None:
+        valid = jnp.ones(pred_masks.shape[:2], pred_masks.dtype)
+    w = valid[..., None, None]
+    # masked focal/dice: zero out padded prompts on both sides
+    f = focal_loss(pred_masks * w, gt * w)
+    d = dice_loss(pred_masks * w - (1 - w) * 1e4, gt * w)
+    iou_gt = calc_iou(pred_masks, gt)
+    iou_mse = jnp.sum(((ious - iou_gt) ** 2) * valid) / jnp.maximum(valid.sum(), 1.0)
+    loss = 20.0 * f + d + iou_mse
+    return loss, {
+        "loss/focal": f,
+        "loss/dice": d,
+        "loss/iou_mse": iou_mse,
+        "metric/mean_iou": jnp.sum(iou_gt * valid) / jnp.maximum(valid.sum(), 1.0),
+    }
+
+
+def create_segmentation_state(
+    pipeline: ImageSegmentationPipeline,
+    rng: jax.Array,
+    sample_images: Array,
+    sample_targets: Dict[str, Array],
+    tx: optax.GradientTransformation,
+) -> TrainState:
+    variables = pipeline.init({"params": rng}, sample_images, sample_targets,
+                              training=False)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=pipeline.apply,
+    )
+
+
+def make_segmentation_train_step(prior_weight: float = 100.0, jit: bool = True):
+    """Prior-regularized finetuning step (the frozen-SAM adaptation flow,
+    BASELINE.md config 5)."""
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        rngs = {"dropout": jax.random.fold_in(rng, state.step)}
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            ((_, targets_c, pred_masks, ious), info), new_state = state.apply_fn(
+                variables, batch["image"], batch["targets"],
+                training=True, rngs=rngs, mutable=["batch_stats"],
+            )
+            task, metrics = segmentation_task_loss(pred_masks, ious, targets_c)
+            loss = task
+            if prior_weight and not isinstance(info, IdentityCanonicalizationInfo):
+                prior = prior_regularization_loss(info)
+                loss = loss + prior_weight * prior
+                metrics["loss/prior"] = prior
+            metrics["loss/total"] = loss
+            return loss, (metrics, new_state.get("batch_stats", state.batch_stats))
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=0) if jit else train_step
+
+
+def segmentation_group_inference(
+    state: TrainState,
+    batch: Dict[str, Any],
+    *,
+    num_rotations: int = 4,
+    group_type: str = "rotation",
+):
+    """Per-group-element mAP sweep (reference segmentation
+    inference_utils.py:119-264): transform image AND targets by each group
+    element, run the pipeline, report per-element and aggregated map."""
+    from equiadapt_tpu.ops.boxes import flip_boxes, flip_masks, rotate_boxes, rotate_masks
+    from equiadapt_tpu.ops.warp import group_angles, hflip, rotate
+
+    x = batch["image"]
+    targets = batch["targets"]
+    B, H, W, _ = x.shape
+    degrees = group_angles(num_rotations)
+    results = {}
+    maps = []
+    reflections = (0, 1) if group_type == "roto-reflection" else (0,)
+    for refl in reflections:
+        for g in range(num_rotations):
+            ang = jnp.full((B,), -float(degrees[g]))
+            xi = hflip(x) if refl else x
+            xi = rotate(xi, ang, padding_mode="border")
+            boxes = targets["boxes"]
+            masks = targets["masks"]
+            if refl:
+                boxes = flip_boxes(boxes, W)
+                masks = flip_masks(masks)
+            boxes = rotate_boxes(boxes, -ang, W)
+            masks = rotate_masks(masks, ang)
+            ti = {**targets, "boxes": boxes, "masks": masks}
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            ((_, tc, pred_masks, ious), _info) = state.apply_fn(
+                variables, xi, ti, training=False
+            )
+            m = mask_iou_map_metric(pred_masks, ious, tc["masks"], tc["valid"])
+            idx = g + refl * num_rotations
+            results[f"test/map_element_{idx}"] = m
+            maps.append(m)
+    results["test/group_map"] = jnp.mean(jnp.stack(maps))
+    results["test/map"] = maps[0]
+    return results
+
+
+def mask_iou_map_metric(
+    pred_masks: Array,
+    scores: Array,
+    gt_masks: Array,
+    valid: Array,
+    thresholds=(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95),
+) -> Array:
+    """Simplified segm mAP over IoU thresholds for matched (prompted)
+    instances — a jit-friendly stand-in for torchmetrics
+    MeanAveragePrecision(iou_type='segm') (reference model.py:206-238);
+    prompts give the prediction<->gt matching for free."""
+    ious = calc_iou(pred_masks, gt_masks.astype(jnp.float32))
+    n = jnp.maximum(valid.sum(), 1.0)
+    aps = [jnp.sum((ious > t) * valid) / n for t in thresholds]
+    return jnp.mean(jnp.stack(aps))

@@ -1,0 +1,104 @@
+"""Orbax checkpointing with embedded config snapshot.
+
+TPU-native equivalent of the reference's Lightning ModelCheckpoint +
+save_hyperparameters flow (examples/images/classification/
+train_utils.py:97-114; train.py:15-33 restores the canonicalization config
+from the checkpoint in test mode). Here the `Config` dict is stored next to
+the train state, so `restore_config` can rebuild the exact canonicalizer for
+evaluation, and the prediction/canonicalizer parameter subtrees can be
+loaded independently (the reference's two-checkpoint transfer flow,
+train_utils.py:46-58).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from equiadapt_tpu.utils.config import Config
+
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "restore_config",
+    "load_prediction_params_from",
+    "best_metric_saver",
+]
+
+
+def _config_path(path: str) -> str:
+    return os.path.join(path, "config.json")
+
+
+def save_checkpoint(path: str, state: Any, config: Optional[Config] = None) -> None:
+    """Save a train-state pytree (+ config snapshot) to `path`."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        os.path.join(path, "state"),
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "opt_state": state.opt_state, "step": state.step},
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    if config is not None:
+        with open(_config_path(path), "w") as f:
+            json.dump(config.to_dict(), f, indent=2)
+
+
+def restore_checkpoint(path: str, state: Any) -> Any:
+    """Restore into an abstract/concrete state template (same treedef)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    target = {"params": state.params, "batch_stats": state.batch_stats,
+              "opt_state": state.opt_state, "step": state.step}
+    restored = ckptr.restore(os.path.join(path, "state"), target)
+    return state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"], step=restored["step"],
+    )
+
+
+def restore_config(path: str) -> Config:
+    """Rebuild the Config stored with a checkpoint (test-mode restore,
+    reference train.py:15-33)."""
+    with open(_config_path(os.path.abspath(path))) as f:
+        return Config.from_dict(json.load(f))
+
+
+def load_prediction_params_from(path: str, state: Any, subtree: str = "prediction_network") -> Any:
+    """Replace only the prediction-network params from another checkpoint
+    (the reference's finetuned-prediction transfer, train_utils.py:46-58)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    target = {"params": state.params, "batch_stats": state.batch_stats,
+              "opt_state": state.opt_state, "step": state.step}
+    restored = ckptr.restore(os.path.join(path, "state"), target)
+    new_params = dict(state.params)
+    new_params[subtree] = restored["params"][subtree]
+    return state.replace(params=type(state.params)(new_params))
+
+
+class best_metric_saver:
+    """Keep-best checkpointing on a monitored metric
+    (ModelCheckpoint(monitor='val/acc', mode='max') analog)."""
+
+    def __init__(self, path: str, mode: str = "max"):
+        self.path = path
+        self.mode = mode
+        self.best: Optional[float] = None
+
+    def maybe_save(self, metric: float, state: Any, config: Optional[Config] = None) -> bool:
+        better = (
+            self.best is None
+            or (self.mode == "max" and metric > self.best)
+            or (self.mode == "min" and metric < self.best)
+        )
+        if better:
+            self.best = float(metric)
+            save_checkpoint(self.path, state, config)
+        return better

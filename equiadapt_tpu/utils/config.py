@@ -1,0 +1,195 @@
+"""Config taxonomy — dataclass mirror of the reference's Hydra config groups.
+
+The reference wires everything through Hydra YAML groups
+(canonicalization / experiment / dataset / prediction / checkpoint / wandb,
+SURVEY.md §2.3; examples/images/classification/configs/). The TPU build keeps
+the same key names as frozen dataclasses so the five BASELINE configs map
+1:1, with `to_dict`/`from_dict` for checkpoint embedding (the reference
+restores the canonicalization config from checkpoint hyperparams in test
+mode, examples/images/classification/train.py:15-33).
+
+YAML loading is supported via `load_yaml` (plain pyyaml, no Hydra
+dependency); CLI overrides use dotted `key=value` pairs like Hydra's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _asdict(obj) -> Dict[str, Any]:
+    return dataclasses.asdict(obj)
+
+
+@dataclass(frozen=True)
+class NetworkHyperparams:
+    """canonicalization.network_hyperparams group
+    (configs/canonicalization/*.yaml)."""
+
+    kernel_size: int = 3
+    out_channels: int = 16
+    num_layers: int = 2
+    group_type: str = "rotation"
+    num_rotations: int = 4
+    out_vector_size: int = 128
+    n_knn: int = 20
+    pooling: str = "mean"
+    hidden_dim: int = 16
+    layer_pooling: str = "mean"
+    final_pooling: str = "mean"
+    nonlinearity: str = "relu"
+    canon_feature: str = "p"
+    canon_translation: bool = False
+    dropout: float = 0.0
+    out_dim: int = 4
+
+
+@dataclass(frozen=True)
+class CanonicalizationConfig:
+    """canonicalization group: type x network_type
+    (examples/images/common/utils.py:25-118 registry keys)."""
+
+    canonicalization_type: str = "group_equivariant"
+    network_type: str = "e2cnn"
+    network_hyperparams: NetworkHyperparams = field(default_factory=NetworkHyperparams)
+    beta: float = 1.0
+    input_crop_ratio: float = 1.0
+    resize_shape: Optional[int] = None
+    gradient_trick: str = "straight_through"
+    learn_ref_vec: bool = False
+    artifact_err_wt: float = 0.0
+
+
+@dataclass(frozen=True)
+class TrainingLossConfig:
+    """experiment.training.loss weights (experiment/default.yaml: task /
+    prior=100 / group_contrast)."""
+
+    task_weight: float = 1.0
+    prior_weight: float = 100.0
+    group_contrast_weight: float = 0.0
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """experiment group (run_mode, seed, devices, loss weights, inference)."""
+
+    run_mode: str = "train"  # train | test | dryrun | auto_tune
+    seed: int = 0
+    num_epochs: int = 1
+    batch_size: int = 128
+    learning_rate: float = 1e-3
+    canonicalization_learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    num_nodes: int = 1
+    num_devices: int = 1
+    loss: TrainingLossConfig = field(default_factory=TrainingLossConfig)
+    inference_method: str = "vanilla"  # vanilla | group
+    num_group_elements_for_inference: int = 4
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    dataset_name: str = "synthetic"
+    data_path: str = "./data"
+    image_size: int = 32
+    num_classes: int = 10
+    in_channels: int = 3
+    num_points: int = 1024
+    num_nodes_graph: int = 5
+    augment: str = "none"
+
+
+@dataclass(frozen=True)
+class PredictionConfig:
+    architecture: str = "resnet50"
+    freeze_encoder: bool = False
+    pretrained: bool = False
+    hidden_dim: int = 64
+    num_layers: int = 4
+
+
+@dataclass(frozen=True)
+class CheckpointConfig:
+    checkpoint_path: str = "./checkpoints"
+    checkpoint_name: str = ""
+    save_canonized_images: bool = False
+    strict_loading: bool = True
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level config (the Hydra defaults-list composition)."""
+
+    canonicalization: CanonicalizationConfig = field(default_factory=CanonicalizationConfig)
+    experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    prediction: PredictionConfig = field(default_factory=PredictionConfig)
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return _asdict(self)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Config":
+        return Config(
+            canonicalization=_cfg_from(CanonicalizationConfig, d.get("canonicalization", {})),
+            experiment=_cfg_from(ExperimentConfig, d.get("experiment", {})),
+            dataset=_cfg_from(DatasetConfig, d.get("dataset", {})),
+            prediction=_cfg_from(PredictionConfig, d.get("prediction", {})),
+            checkpoint=_cfg_from(CheckpointConfig, d.get("checkpoint", {})),
+        )
+
+    def override(self, *assignments: str) -> "Config":
+        """Apply Hydra-style dotted overrides: 'experiment.seed=3'."""
+        d = self.to_dict()
+        for a in assignments:
+            key, _, raw = a.partition("=")
+            parts = key.split(".")
+            node = d
+            for p in parts[:-1]:
+                node = node[p]
+            node[parts[-1]] = _parse_value(raw)
+        return Config.from_dict(d)
+
+
+def _cfg_from(cls, d: Dict[str, Any]):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in (
+            "network_hyperparams", "loss",
+        ):
+            sub_cls = {"network_hyperparams": NetworkHyperparams, "loss": TrainingLossConfig}[f.name]
+            v = _cfg_from(sub_cls, v) if isinstance(v, dict) else v
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def _parse_value(raw: str) -> Any:
+    r = raw.strip()
+    if r.lower() in ("true", "false"):
+        return r.lower() == "true"
+    if r.lower() in ("null", "none"):
+        return None
+    try:
+        return int(r)
+    except ValueError:
+        pass
+    try:
+        return float(r)
+    except ValueError:
+        pass
+    return r
+
+
+def load_yaml(path: str) -> Config:
+    """Load a config YAML (same key taxonomy as the reference's groups)."""
+    import yaml
+
+    with open(path) as f:
+        return Config.from_dict(yaml.safe_load(f))

@@ -1,0 +1,72 @@
+"""Metric aggregation + CSV/JSONL logging (the wandb-optional observability
+layer; reference uses WandbLogger + self.log_dict, SURVEY.md §5).
+
+`MetricLogger` accumulates per-step metric dicts on host, averages per
+epoch, and appends JSONL rows — greppable, diffable, no external service.
+An EarlyStopping helper mirrors the reference's patience-on-val/acc
+(train_utils.py:106-112).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+__all__ = ["MetricLogger", "EarlyStopping"]
+
+
+class MetricLogger:
+    def __init__(self, log_path: Optional[str] = None):
+        self.log_path = log_path
+        self._sums: Dict[str, float] = defaultdict(float)
+        self._counts: Dict[str, int] = defaultdict(int)
+        if log_path:
+            os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)
+
+    def update(self, metrics: Dict[str, Any]) -> None:
+        for k, v in metrics.items():
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                self._sums[k] += float(arr)
+                self._counts[k] += 1
+
+    def flush(self, step: int, prefix: str = "") -> Dict[str, float]:
+        means = {
+            (prefix + k): self._sums[k] / max(self._counts[k], 1) for k in self._sums
+        }
+        self._sums.clear()
+        self._counts.clear()
+        if self.log_path:
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps({"step": step, "time": time.time(), **means}) + "\n")
+        return means
+
+
+class EarlyStopping:
+    """Stop when the monitored metric hasn't improved for `patience` checks."""
+
+    def __init__(self, patience: int = 10, mode: str = "max", min_delta: float = 0.0):
+        self.patience = patience
+        self.mode = mode
+        self.min_delta = min_delta
+        self.best: Optional[float] = None
+        self.bad = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True if training should stop."""
+        improved = (
+            self.best is None
+            or (self.mode == "max" and value > self.best + self.min_delta)
+            or (self.mode == "min" and value < self.best - self.min_delta)
+        )
+        if improved:
+            self.best = float(value)
+            self.bad = 0
+        else:
+            self.bad += 1
+        return self.bad >= self.patience

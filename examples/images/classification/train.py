@@ -1,0 +1,154 @@
+"""Image-classification training CLI.
+
+TPU-native analog of reference examples/images/classification/train.py:13-121
+(Hydra entry, wandb, Lightning Trainer) — a plain argparse CLI over the
+dataclass config with Hydra-style dotted overrides:
+
+    python examples/images/classification/train.py \
+        canonicalization.network_hyperparams.num_rotations=8 \
+        experiment.num_epochs=2 dataset.dataset_name=synthetic
+
+Test mode restores the canonicalization config from the checkpoint
+(reference train.py:15-33): pass experiment.run_mode=test with
+checkpoint.checkpoint_path set.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from equiadapt_tpu.data import synthetic_image_batch
+from equiadapt_tpu.parallel import data_parallel_jit, make_mesh, replicate, shard_batch
+from equiadapt_tpu.pipelines import (
+    ImageClassifierPipeline,
+    create_train_state,
+    group_inference,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    vanilla_inference,
+)
+from equiadapt_tpu.utils import (
+    Config,
+    get_image_canonicalization_network,
+    get_image_canonicalizer,
+    get_image_prediction_network,
+)
+from equiadapt_tpu.utils.checkpoint import (
+    best_metric_saver,
+    restore_checkpoint,
+    restore_config,
+)
+from equiadapt_tpu.utils.metrics import EarlyStopping, MetricLogger
+
+
+def build_pipeline(cfg: Config) -> ImageClassifierPipeline:
+    in_shape = (cfg.dataset.image_size, cfg.dataset.image_size, cfg.dataset.in_channels)
+    net = get_image_canonicalization_network(cfg.canonicalization, in_shape)
+    canon = get_image_canonicalizer(cfg.canonicalization, net, in_shape)
+    pred = get_image_prediction_network(
+        cfg.prediction, cfg.dataset.num_classes,
+        small_images=cfg.dataset.image_size <= 64,
+    )
+    return ImageClassifierPipeline(canonicalizer=canon, prediction_network=pred)
+
+
+def get_batches(cfg: Config, rng, num_batches: int):
+    if cfg.dataset.dataset_name == "synthetic":
+        for i in range(num_batches):
+            yield synthetic_image_batch(
+                jax.random.fold_in(rng, i),
+                cfg.experiment.batch_size,
+                size=cfg.dataset.image_size,
+                channels=cfg.dataset.in_channels,
+                num_classes=cfg.dataset.num_classes,
+            )
+    else:
+        from equiadapt_tpu.data.images import get_image_dataset
+
+        yield from get_image_dataset(cfg, rng, num_batches)
+
+
+def main(argv) -> None:
+    cfg = Config().override(*argv)
+    if cfg.experiment.run_mode == "test" and cfg.checkpoint.checkpoint_path:
+        # reconstruct the exact canonicalizer from the checkpoint snapshot
+        cfg = restore_config(cfg.checkpoint.checkpoint_path).override(
+            "experiment.run_mode=test"
+        )
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+    rng = jax.random.key(cfg.experiment.seed)
+
+    pipeline = build_pipeline(cfg)
+    sample = next(get_batches(cfg, rng, 1))
+    tx = make_optimizer(
+        architecture=cfg.prediction.architecture,
+        dataset_name=cfg.dataset.dataset_name,
+        learning_rate=cfg.experiment.learning_rate,
+        canonicalization_learning_rate=cfg.experiment.canonicalization_learning_rate,
+        weight_decay=cfg.experiment.weight_decay,
+        freeze_prediction=cfg.prediction.freeze_encoder,
+    )
+    state = create_train_state(pipeline, rng, sample["image"], tx)
+
+    loss_kwargs = {
+        "task_weight": cfg.experiment.loss.task_weight,
+        "prior_weight": cfg.experiment.loss.prior_weight,
+        "group_contrast_weight": cfg.experiment.loss.group_contrast_weight,
+        "canonicalization_type": cfg.canonicalization.canonicalization_type,
+        "out_vector_size": cfg.canonicalization.network_hyperparams.out_vector_size,
+        "artifact_err_wt": cfg.canonicalization.artifact_err_wt,
+    }
+
+    n_dev = min(cfg.experiment.num_devices, jax.device_count())
+    mesh = make_mesh(n_dev)
+    step = data_parallel_jit(
+        make_train_step(loss_kwargs, jit=False), mesh, num_extra_args=1
+    )
+    state = replicate(state, mesh)
+    eval_step = make_eval_step(loss_kwargs)
+
+    if cfg.experiment.run_mode == "test":
+        state = restore_checkpoint(cfg.checkpoint.checkpoint_path, state)
+        batch = next(get_batches(cfg, jax.random.fold_in(rng, 999), 1))
+        if cfg.experiment.inference_method == "group":
+            metrics = group_inference(
+                state, batch,
+                num_rotations=cfg.experiment.num_group_elements_for_inference,
+                grayscale=cfg.dataset.in_channels == 1,
+            )
+        else:
+            metrics = vanilla_inference(state, batch, cfg.dataset.num_classes)
+        print({k: float(jnp.mean(v)) for k, v in metrics.items()})
+        return
+
+    logger = MetricLogger(f"{cfg.checkpoint.checkpoint_path}/train_log.jsonl"
+                          if cfg.checkpoint.checkpoint_path else None)
+    saver = (
+        best_metric_saver(cfg.checkpoint.checkpoint_path)
+        if cfg.checkpoint.checkpoint_path
+        else None
+    )
+    stopper = EarlyStopping(patience=10)
+    steps_per_epoch = 20 if cfg.dataset.dataset_name == "synthetic" else 400
+    for epoch in range(cfg.experiment.num_epochs):
+        for batch in get_batches(cfg, jax.random.fold_in(rng, epoch), steps_per_epoch):
+            state, metrics = step(state, shard_batch(batch, mesh), rng)
+            logger.update(metrics)
+        val = next(get_batches(cfg, jax.random.fold_in(rng, 10_000 + epoch), 1))
+        vm = eval_step(state, val)
+        means = logger.flush(epoch, prefix="train/")
+        acc = float(vm["metric/acc"])
+        print(f"epoch {epoch}: {means} val/acc={acc:.4f}")
+        if saver is not None:
+            saver.maybe_save(acc, state, cfg)
+        if stopper.update(acc):
+            print("early stopping")
+            break
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

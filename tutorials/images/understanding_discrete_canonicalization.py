@@ -1,0 +1,67 @@
+"""Tutorial 1 — Understanding discrete canonicalization (runnable script).
+
+Counterpart of the reference notebook tutorials/images/
+understanding_discrete_canonicalization.ipynb: build a C4/C8 canonicalizer,
+feed it rotated copies of the same image, and watch it (a) select shifted
+group elements and (b) produce identical canonical images.
+
+Run:  PYTHONPATH=. python tutorials/images/understanding_discrete_canonicalization.py
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from equiadapt_tpu.images import (
+    EquivariantNetwork,
+    GroupEquivariantImageCanonicalization,
+)
+
+
+def main():
+    # 1. A C4-equivariant energy network: its (B, 4) output fiber permutes
+    #    when the input rotates.
+    net = EquivariantNetwork(
+        in_channels=3, out_channels=8, kernel_size=3,
+        group_type="rotation", num_rotations=4, num_layers=2,
+    )
+    canon = GroupEquivariantImageCanonicalization(
+        canonicalization_network=net, in_shape=(32, 32, 3), num_rotations=4,
+    )
+
+    # 2. One image, four 90-degree rotations of it.
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    orbit = jnp.concatenate([jnp.rot90(img, k, axes=(1, 2)) for k in range(4)])
+
+    params = canon.init(jax.random.key(0), orbit)
+    x_canon, info = canon.apply(params, orbit)
+
+    # 3. The selected group element tracks the applied rotation...
+    sel = np.argmax(np.asarray(info.group_activations), axis=-1)
+    print("selected elements per rotated copy:", sel)
+    print("differences are the applied rotations:", (sel - sel[0]) % 4)
+
+    # 4. ...and every canonicalized copy is the same image.
+    spread = float(jnp.abs(x_canon - x_canon[0]).max())
+    print(f"max deviation across canonicalized copies: {spread:.2e}")
+    assert spread < 1e-3
+
+    # 5. The straight-through trick: gradients flow through the soft path.
+    def loss(p):
+        xc, inf = canon.apply(p, orbit)
+        return jnp.sum(xc**2)
+
+    g = jax.grad(loss)(params)
+    total = jax.tree_util.tree_reduce(lambda a, b: a + float(jnp.abs(b).sum()), g, 0.0)
+    print(f"gradient mass reaching the canonicalization network: {total:.3f}")
+
+
+if __name__ == "__main__":
+    main()
