@@ -33,6 +33,14 @@ FEATURE_CH = 16  # regular-rep output channels for invert (2 fields x |G|)
 
 def bench_jax() -> float:
     import jax
+
+    # persistent compile cache: the axon remote-compile service has highly
+    # variable queueing latency; cache hits make repeat bench runs fast
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from equiadapt_tpu.images import (

@@ -1,0 +1,127 @@
+"""Config taxonomy, checkpointing, and metric-logger tests."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from equiadapt_tpu.data import synthetic_image_batch
+from equiadapt_tpu.models import ResNet18
+from equiadapt_tpu.pipelines import (
+    ImageClassifierPipeline,
+    create_train_state,
+    make_train_step,
+)
+from equiadapt_tpu.utils import (
+    CanonicalizationConfig,
+    Config,
+    NetworkHyperparams,
+    get_image_canonicalization_network,
+    get_image_canonicalizer,
+)
+from equiadapt_tpu.utils.checkpoint import (
+    best_metric_saver,
+    restore_checkpoint,
+    restore_config,
+    save_checkpoint,
+)
+from equiadapt_tpu.utils.metrics import EarlyStopping, MetricLogger
+
+KEY = jax.random.key(0)
+
+
+def test_config_roundtrip_and_overrides():
+    cfg = Config()
+    d = cfg.to_dict()
+    cfg2 = Config.from_dict(d)
+    assert cfg2 == cfg
+
+    cfg3 = cfg.override(
+        "experiment.seed=7",
+        "canonicalization.network_hyperparams.num_rotations=8",
+        "canonicalization.resize_shape=64",
+        "prediction.freeze_encoder=true",
+        "dataset.dataset_name=cifar10",
+    )
+    assert cfg3.experiment.seed == 7
+    assert cfg3.canonicalization.network_hyperparams.num_rotations == 8
+    assert cfg3.canonicalization.resize_shape == 64
+    assert cfg3.prediction.freeze_encoder is True
+    assert cfg3.dataset.dataset_name == "cifar10"
+
+
+def test_config_yaml(tmp_path):
+    import yaml
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump({"experiment": {"seed": 3}, "dataset": {"num_classes": 7}}))
+    from equiadapt_tpu.utils import load_yaml
+
+    cfg = load_yaml(str(p))
+    assert cfg.experiment.seed == 3
+    assert cfg.dataset.num_classes == 7
+
+
+def _tiny_state():
+    cfg = CanonicalizationConfig(
+        network_hyperparams=NetworkHyperparams(out_channels=4, num_layers=2)
+    )
+    in_shape = (16, 16, 3)
+    net = get_image_canonicalization_network(cfg, in_shape)
+    canon = get_image_canonicalizer(cfg, net, in_shape)
+    pipe = ImageClassifierPipeline(
+        canonicalizer=canon, prediction_network=ResNet18(num_classes=4, small_images=True)
+    )
+    batch = synthetic_image_batch(KEY, 4, size=16, num_classes=4)
+    state = create_train_state(pipe, KEY, batch["image"], optax.adam(1e-3))
+    return pipe, state, batch
+
+
+def test_checkpoint_save_restore_and_config(tmp_path):
+    pipe, state, batch = _tiny_state()
+    cfg = Config().override("experiment.seed=42")
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, cfg)
+
+    # config snapshot restores (the reference's test-mode flow)
+    cfg2 = restore_config(path)
+    assert cfg2.experiment.seed == 42
+
+    # params restore bit-exact into a fresh state
+    _, fresh, _ = _tiny_state()
+    step = make_train_step({"prior_weight": 1.0})
+    fresh, _ = step(fresh, batch, jax.random.key(1))  # diverge first
+    restored = restore_checkpoint(path, fresh)
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_best_metric_saver(tmp_path):
+    _, state, _ = _tiny_state()
+    saver = best_metric_saver(str(tmp_path / "best"), mode="max")
+    assert saver.maybe_save(0.5, state)
+    assert not saver.maybe_save(0.4, state)
+    assert saver.maybe_save(0.9, state)
+    assert saver.best == 0.9
+
+
+def test_metric_logger_and_early_stopping(tmp_path):
+    log = tmp_path / "log.jsonl"
+    m = MetricLogger(str(log))
+    m.update({"a": jnp.asarray(1.0), "b": jnp.asarray(2.0)})
+    m.update({"a": jnp.asarray(3.0)})
+    means = m.flush(step=0)
+    assert means["a"] == 2.0 and means["b"] == 2.0
+    row = json.loads(log.read_text().strip())
+    assert row["step"] == 0 and row["a"] == 2.0
+
+    es = EarlyStopping(patience=2, mode="max")
+    assert not es.update(0.5)
+    assert not es.update(0.4)
+    assert es.update(0.3)  # second bad check -> stop
