@@ -48,39 +48,63 @@ def bench_jax() -> float:
         GroupEquivariantImageCanonicalization,
     )
 
+    from equiadapt_tpu.common.selector import straight_through_onehot
+    from equiadapt_tpu.ops.group_action import get_action_on_image_features
+    from equiadapt_tpu.ops.warp import (
+        center_crop,
+        group_angles,
+        resize,
+        rotate_discrete,
+    )
+
     net = EquivariantNetwork(
         in_channels=3, out_channels=8, kernel_size=3, group_type="rotation",
         num_rotations=NUM_ROT, num_layers=2,
-    )
-    canon = GroupEquivariantImageCanonicalization(
-        canonicalization_network=net,
-        in_shape=(IMAGE, IMAGE, 3),
-        num_rotations=NUM_ROT,
-        input_crop_ratio=0.9,
-        resize_shape=64,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(BATCH_TPU, IMAGE, IMAGE, 3)).astype(np.float32))
     y = jnp.asarray(
         rng.normal(size=(BATCH_TPU, IMAGE, IMAGE, FEATURE_CH)).astype(np.float32)
     )
+    small = jnp.zeros((BATCH_TPU, 64, 64, 3), jnp.float32)
     # jit the init too: eager per-op dispatch is pathologically slow through
     # the axon tunnel
-    params = jax.jit(canon.init)(jax.random.key(0), x)
+    params = jax.jit(net.init)(jax.random.key(0), small)
+
+    # IMPORTANT: params are passed as jit *arguments*, never closed over.
+    # Closed-over params become baked HLO constants, which on the axon
+    # toolchain cause minutes-long remote compiles and flip the runtime
+    # into a mode where subsequent gather programs run ~100x slower.
+    crop = int(np.ceil(IMAGE * 0.9))
 
     @jax.jit
-    def fn(x, y):
-        x_c, info = canon.apply(params, x)
-        inv = canon.invert_canonicalization(info, y)
-        return x_c, inv
+    def step_fn(params, x, y, i):
+        # fold the iteration index in: defeats any runtime result caching
+        x = x + i * 1e-9
+        s = resize(center_crop(x, (crop, crop)), (64, 64))
+        acts = net.apply(params, s)
+        onehot = straight_through_onehot(acts, training=False)
+        ang = jnp.sum(onehot * group_angles(NUM_ROT), -1)
+        # static-tap discrete warps (the production canonicalize/invert path)
+        x_c = rotate_discrete(x, onehot, NUM_ROT, sign=-1.0, padding_mode="border")
+        y_inv = get_action_on_image_features(
+            y, num_rotations=NUM_ROT, num_group=NUM_ROT,
+            rotation_deg=ang, rotation_onehot=onehot, induced_rep_type="regular",
+        )
+        return x_c, y_inv
 
-    # compile + warmup
-    jax.block_until_ready(fn(x, y))
+    # warmup + timing: iterations are *chained* (each step consumes the
+    # previous step's outputs) and completion is forced by fetching a
+    # dependent scalar — on this runtime block_until_ready returns at
+    # enqueue-ack, so only a host fetch proves the device finished
+    reduce_fn = jax.jit(lambda a, b: jnp.sum(a) + jnp.sum(b))
+    x_c, y_inv = step_fn(params, x, y, jnp.float32(0))
+    float(reduce_fn(x_c, y_inv))  # warm + sync
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x, y)
-    jax.block_until_ready(out)
+    for k in range(iters):
+        x_c, y_inv = step_fn(params, x_c, y_inv, jnp.float32(k + 1))
+    float(reduce_fn(x_c, y_inv))
     dt = (time.perf_counter() - t0) / iters
     return BATCH_TPU / dt
 

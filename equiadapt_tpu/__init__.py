@@ -24,5 +24,40 @@ from equiadapt_tpu.common import (
     modified_gram_schmidt,
     prior_regularization_loss,
 )
+from equiadapt_tpu.images import (
+    ContinuousGroupImageCanonicalization,
+    ConvNetwork,
+    CustomEquivariantNetwork,
+    DiscreteGroupImageCanonicalization,
+    EquivariantNetwork,
+    EquivariantWideResNet,
+    GroupEquivariantImageCanonicalization,
+    OptimizedGroupEquivariantImageCanonicalization,
+    OptimizedSteerableImageCanonicalization,
+    ResNet18Network,
+    RotationEquivariantConv,
+    RotationEquivariantConvLift,
+    RotoReflectionEquivariantConv,
+    RotoReflectionEquivariantConvLift,
+    SteerableImageCanonicalization,
+    WideResNet50Network,
+    WideResNet101Network,
+)
+from equiadapt_tpu.images.networks.steerable import SteerableNetwork
+from equiadapt_tpu.nbody import EuclideanGroupNBody, VNDeepSets
+from equiadapt_tpu.pointcloud import (
+    ContinuousGroupPointcloudCanonicalization,
+    EquivariantPointcloudCanonicalization,
+    VNBatchNorm,
+    VNBilinear,
+    VNLeakyReLU,
+    VNLinear,
+    VNLinearLeakyReLU,
+    VNMaxPool,
+    VNSmall,
+    VNSoftplus,
+    VNStdFeature,
+    mean_pool,
+)
 
 __version__ = "0.1.0"

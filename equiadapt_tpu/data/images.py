@@ -26,7 +26,14 @@ import numpy as np
 
 Array = jnp.ndarray
 
-__all__ = ["load_cifar10", "load_rotated_mnist", "image_batch_iterator", "DATASET_STATS"]
+__all__ = [
+    "load_cifar10",
+    "load_cifar100",
+    "load_stl10",
+    "load_rotated_mnist",
+    "image_batch_iterator",
+    "DATASET_STATS",
+]
 
 DATASET_STATS = {
     # (mean, std) per channel, matching the reference transforms
@@ -70,6 +77,45 @@ def load_cifar10(data_path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.nd
     train = _load([f"data_batch_{i}" for i in range(1, 6)])
     test = _load(["test_batch"])
     return train, test
+
+
+def load_cifar100(data_path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """cifar-100-python pickles (train/test files, 'fine_labels')."""
+    root = os.path.join(data_path, "cifar-100-python")
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"CIFAR-100 not found at {root}; no network egress — place the "
+            "python-version pickles there or use synthetic data"
+        )
+
+    def _load(fname):
+        with open(os.path.join(root, fname), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        x = x.astype(np.float32) / 255.0
+        return {"image": _normalize(x, "cifar100").astype(np.float32),
+                "label": np.asarray(d[b"fine_labels"]).astype(np.int32)}
+
+    return _load("train"), _load("test")
+
+
+def load_stl10(data_path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """STL-10 binary files (train_X.bin/train_y.bin/test_X.bin/test_y.bin)."""
+    root = os.path.join(data_path, "stl10_binary")
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"STL-10 not found at {root}; no network egress — place the "
+            "binary files there or use synthetic data"
+        )
+
+    def _load(xf, yf):
+        x = np.fromfile(os.path.join(root, xf), np.uint8)
+        # column-major 96x96x3 per STL-10 spec
+        x = x.reshape(-1, 3, 96, 96).transpose(0, 3, 2, 1).astype(np.float32) / 255.0
+        y = np.fromfile(os.path.join(root, yf), np.uint8).astype(np.int32) - 1
+        return {"image": _normalize(x, "stl10").astype(np.float32), "label": y}
+
+    return _load("train_X.bin", "train_y.bin"), _load("test_X.bin", "test_y.bin")
 
 
 def load_rotated_mnist(data_path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:

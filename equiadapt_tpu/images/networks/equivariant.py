@@ -214,12 +214,47 @@ class _WideBlock(nn.Module):
         return x + h
 
 
+class _WideBottleneck(nn.Module):
+    """Bottleneck residual group-conv block (reference ESCNNWideBottleneck,
+    escnn_networks.py:301-373): 1x1 squeeze -> kxk -> 1x1 expand."""
+
+    channels: int
+    kernel_size: int
+    group_type: str
+    num_rotations: int
+
+    @nn.compact
+    def __call__(self, x: Array, training: bool = False) -> Array:
+        G = self.num_rotations * (2 if self.group_type == "roto-reflection" else 1)
+        pad = self.kernel_size // 2
+        mid = max(self.channels // 2, 1)
+        h = FiberBatchNorm(num_group=G)(x, training=training)
+        h = nn.relu(h)
+        h = _gconv(self.group_type)(
+            in_channels=self.channels, out_channels=mid, kernel_size=1,
+            num_rotations=self.num_rotations,
+        )(h)
+        h = FiberBatchNorm(num_group=G)(h, training=training)
+        h = nn.relu(h)
+        h = _gconv(self.group_type)(
+            in_channels=mid, out_channels=mid, kernel_size=self.kernel_size,
+            num_rotations=self.num_rotations, padding=pad,
+        )(h)
+        h = FiberBatchNorm(num_group=G)(h, training=training)
+        h = nn.relu(h)
+        h = _gconv(self.group_type)(
+            in_channels=mid, out_channels=self.channels, kernel_size=1,
+            num_rotations=self.num_rotations,
+        )(h)
+        return x + h
+
+
 class EquivariantWideResNet(nn.Module):
     """Wide-resnet GCNN energy net (the `equivariant_wrn` network_type).
 
     Reference ESCNNWRNEquivariantNetwork (escnn_networks.py:376-511): lift,
-    then residual wide blocks, then a final group conv and fiber-mean
-    readout.
+    then residual wide blocks (basic or bottleneck), then a final group conv
+    and fiber-mean readout.
     """
 
     in_channels: int
@@ -228,6 +263,7 @@ class EquivariantWideResNet(nn.Module):
     group_type: str = "rotation"
     num_rotations: int = 4
     num_blocks: int = 2
+    block_type: str = "basic"  # basic | bottleneck
 
     @property
     def num_group(self) -> int:
@@ -243,8 +279,9 @@ class EquivariantWideResNet(nn.Module):
             num_rotations=self.num_rotations,
             padding=self.kernel_size // 2,
         )(x)
+        block = _WideBlock if self.block_type == "basic" else _WideBottleneck
         for _ in range(self.num_blocks):
-            y = _WideBlock(
+            y = block(
                 channels=self.out_channels,
                 kernel_size=self.kernel_size,
                 group_type=self.group_type,

@@ -1,4 +1,11 @@
-from equiadapt_tpu.models.egnn import GCL, GNN, NBodyTransformer, edge_attributes
+from equiadapt_tpu.models.egnn import (
+    GCL,
+    GCLRF,
+    GNN,
+    NBodyMLP,
+    NBodyTransformer,
+    edge_attributes,
+)
 from equiadapt_tpu.models.pointnet import (
     DGCNN,
     DGCNNPartSeg,
@@ -17,7 +24,9 @@ from equiadapt_tpu.models.vit import ViT, ViTB16
 
 __all__ = [
     "GCL",
+    "GCLRF",
     "GNN",
+    "NBodyMLP",
     "NBodyTransformer",
     "edge_attributes",
     "DGCNN",

@@ -20,7 +20,15 @@ from equiadapt_tpu.nbody.vn_deepsets import complete_adjacency
 
 Array = jnp.ndarray
 
-__all__ = ["GCL", "GNN", "NBodyTransformer", "positional_encoding", "edge_attributes"]
+__all__ = [
+    "GCL",
+    "GNN",
+    "NBodyTransformer",
+    "NBodyMLP",
+    "GCLRF",
+    "positional_encoding",
+    "edge_attributes",
+]
 
 
 def edge_attributes(loc: Array, charges: Array) -> Array:
@@ -99,6 +107,44 @@ class GNN(nn.Module):
         h = nn.Dense(self.hidden_dim)(h)
         h = nn.silu(h)
         return nn.Dense(3)(h)
+
+
+class NBodyMLP(nn.Module):
+    """Per-node MLP baseline (the reference's MLP model in
+    euclideangraph_base_models.py): no message passing, concatenated
+    [loc, vel, charge] features."""
+
+    hidden_dim: int = 64
+    num_layers: int = 4
+
+    @nn.compact
+    def __call__(
+        self, loc: Array, vel: Array, charges: Array,
+        adjacency: Optional[Array] = None, training: bool = False,
+    ) -> Array:
+        h = jnp.concatenate([loc, vel, charges], axis=-1)
+        for _ in range(self.num_layers - 1):
+            h = nn.Dense(self.hidden_dim)(h)
+            h = nn.silu(h)
+        return nn.Dense(3)(h)
+
+
+class GCLRF(nn.Module):
+    """Radial-field graph layer (the reference's GCL_rf, gcl.py): messages
+    are scalar functions of pairwise distance times the displacement
+    vector — an E(n)-equivariant coordinate update."""
+
+    hidden_dim: int = 64
+
+    @nn.compact
+    def __call__(self, loc: Array, adjacency: Array) -> Array:
+        diff = loc[:, :, None, :] - loc[:, None, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
+        m = nn.Dense(self.hidden_dim)(d2)
+        m = nn.silu(m)
+        m = nn.Dense(1)(m)
+        upd = jnp.einsum("uv,buvd->bud", adjacency, m * diff)
+        return loc + upd
 
 
 def positional_encoding(x: Array, hidden_dim: int) -> Array:

@@ -18,33 +18,48 @@ tests/test_group_action.py).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from equiadapt_tpu.ops.warp import hflip, rotate
+from equiadapt_tpu.ops.warp import hflip, rotate, rotate_discrete
 
 Array = jnp.ndarray
 
 __all__ = ["roll_by_gather", "get_action_on_image_features"]
 
 
+@lru_cache(maxsize=None)
+def _roll_matrices(G: int) -> np.ndarray:
+    """(G, G, G) circulant bank: C[s, h, k] = 1 iff h == (k - s) mod G."""
+    s = np.arange(G)[:, None, None]
+    h = np.arange(G)[None, :, None]
+    k = np.arange(G)[None, None, :]
+    return ((k - s) % G == h).astype(np.float32)
+
+
 def roll_by_gather(feature_map: Array, shifts: Array) -> Array:
     """Cyclically roll the group fiber axis by per-sample shifts.
 
+    Semantics of the reference's roll_by_gather (images/utils.py:8-29):
+    output fiber g reads input fiber (g - shift) mod G, shifts truncated
+    like `.long()`. TPU-native implementation: the roll is a per-sample
+    (G x G) one-hot *matmul* on the tiny fiber axis — minor-axis gathers
+    serialize on TPU, a fiber contraction stays on the VPU/MXU.
+
     Args:
         feature_map: (B, H, W, C, G) — fiber on the minor axis.
-        shifts: (B,) integer (or float, truncated like the reference's
-            `.long()`) shift amounts; output fiber g reads input fiber
-            (g - shift) mod G (reference images/utils.py:8-29).
+        shifts: (B,) integer or float shift amounts.
     """
     G = feature_map.shape[-1]
-    shift_i = shifts.astype(jnp.int32)
-    fiber = jnp.arange(G, dtype=jnp.int32)[None, :]  # (1, G)
-    idx = jnp.mod(fiber - shift_i[:, None], G)  # (B, G)
-    return jnp.take_along_axis(
-        feature_map, idx[:, None, None, None, :], axis=-1
-    )
+    shift_i = jnp.mod(shifts.astype(jnp.int32), G)
+    sel = jax.nn.one_hot(shift_i, G, dtype=feature_map.dtype)  # (B, G)
+    bank = jnp.asarray(_roll_matrices(G), dtype=feature_map.dtype)
+    P = jnp.einsum("bs,shk->bhk", sel, bank)  # (B, G, G)
+    return jnp.einsum("bxych,bhk->bxyck", feature_map, P)
 
 
 def get_action_on_image_features(
@@ -55,6 +70,7 @@ def get_action_on_image_features(
     rotation_deg: Array,
     reflection: Optional[Array] = None,
     induced_rep_type: str = "regular",
+    rotation_onehot: Optional[Array] = None,
 ) -> Array:
     """Apply the stored group element to a canonical-frame output feature map.
 
@@ -74,12 +90,20 @@ def get_action_on_image_features(
             the reference, images/utils.py:90-92, and likewise here).
     """
     B, H, W, C = feature_map.shape
+    if rotation_onehot is None:
+        # group angles are discrete: recover the hard one-hot (matches the
+        # reference's non-differentiable `.long()` shift, images/utils.py:28)
+        step = 360.0 / num_rotations
+        idx = jnp.mod(jnp.round(rotation_deg / step).astype(jnp.int32), num_rotations)
+        rotation_onehot = jax.nn.one_hot(idx, num_rotations, dtype=feature_map.dtype)
     if induced_rep_type == "regular":
         if C % num_group != 0:
             raise ValueError(
                 f"regular rep needs channels divisible by |G|={num_group}, got {C}"
             )
-        x_out = rotate(feature_map, rotation_deg, padding_mode="zeros")
+        x_out = rotate_discrete(
+            feature_map, rotation_onehot, num_rotations, sign=1.0, padding_mode="zeros"
+        )
         if reflection is not None:
             r = reflection[:, None, None, None]
             x_out = (1.0 - r) * x_out + r * hflip(x_out)
@@ -93,7 +117,9 @@ def get_action_on_image_features(
             x_out = roll_by_gather(x_out, shift)
         return x_out.reshape(B, H, W, C)
     if induced_rep_type == "scalar":
-        x_out = rotate(feature_map, rotation_deg, padding_mode="zeros")
+        x_out = rotate_discrete(
+            feature_map, rotation_onehot, num_rotations, sign=1.0, padding_mode="zeros"
+        )
         if reflection is not None:
             r = reflection[:, None, None, None]
             x_out = (1.0 - r) * x_out + r * hflip(x_out)

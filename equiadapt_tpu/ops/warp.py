@@ -31,17 +31,20 @@ a resampling op.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
 
 __all__ = [
     "hflip",
     "rotate",
+    "rotate_discrete",
     "warp_affine",
     "affine_grid_sample",
     "bilinear_sample",
@@ -164,6 +167,119 @@ def rotate(
     src_x = a * dx - b * dy + cx
     src_y = b * dx + a * dy + cy
     return bilinear_sample(x, src_x, src_y, padding_mode=padding_mode)
+
+
+@functools.lru_cache(maxsize=256)
+def _static_warp_taps(H: int, W: int, angle_deg: float, padding_mode: str):
+    """Host-precomputed bilinear taps for a *static* rotation angle.
+
+    Returns (idx (4, H*W) int32, weights (4, H*W) float32) with kornia
+    `rotate` semantics — identical numerics to the dynamic path, but the
+    indices are trace-time constants, so XLA lowers the sampling to static
+    takes instead of per-sample dynamic gathers (which run ~50x slower on
+    the target TPU runtime).
+    """
+    rad = math.radians(angle_deg)
+    a, b = math.cos(rad), math.sin(rad)
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    gy, gx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    dx = gx - cx
+    dy = gy - cy
+    sx = a * dx - b * dy + cx
+    sy = b * dx + a * dy + cy
+    x0 = np.floor(sx)
+    y0 = np.floor(sy)
+    fx = (sx - x0).astype(np.float32)
+    fy = (sy - y0).astype(np.float32)
+    idxs, wts = [], []
+    for ddx, ddy, w in (
+        (0, 0, (1 - fx) * (1 - fy)),
+        (1, 0, fx * (1 - fy)),
+        (0, 1, (1 - fx) * fy),
+        (1, 1, fx * fy),
+    ):
+        xi = x0 + ddx
+        yi = y0 + ddy
+        if padding_mode == "border":
+            wt = w
+        else:  # zeros
+            valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+            wt = w * valid.astype(np.float32)
+        xc = np.clip(xi, 0, W - 1).astype(np.int64)
+        yc = np.clip(yi, 0, H - 1).astype(np.int64)
+        idxs.append((yc * W + xc).reshape(-1).astype(np.int32))
+        wts.append(wt.reshape(-1).astype(np.float32))
+    return np.stack(idxs), np.stack(wts)
+
+
+def _static_rotate(x: Array, angle_deg: float, padding_mode: str) -> Array:
+    """Rotate the whole batch by one static angle (exact rot90 fast path,
+    static-tap bilinear otherwise). Numerically identical to
+    `rotate(x, angle_deg, ...)`."""
+    B, H, W, C = x.shape
+    k = angle_deg / 90.0
+    if H == W and abs(k - round(k)) < 1e-9:
+        return jnp.rot90(x, k=int(round(k)) % 4, axes=(1, 2))
+    idx, wts = _static_warp_taps(H, W, float(angle_deg) % 360.0, padding_mode)
+    flat = x.reshape(B, H * W, C)
+    out = None
+    for t in range(4):
+        tap = jnp.take(flat, jnp.asarray(idx[t]), axis=1) * jnp.asarray(wts[t])[None, :, None]
+        out = tap if out is None else out + tap
+    return out.reshape(B, H, W, C)
+
+
+def rotate_discrete(
+    x: Array,
+    onehot: Array,
+    num_rotations: int,
+    sign: float = -1.0,
+    padding_mode: str = "zeros",
+) -> Array:
+    """Per-sample rotation over a *discrete* angle set, as a one-hot blend
+    of static warps:  out[b] = sum_g onehot[b, g] * rotate(x[b], sign * theta_g).
+
+    Forward numerics are identical to `rotate(x, sign * theta_sel)` — each
+    branch uses the same bilinear taps, just with trace-time-constant
+    indices — but runs ~15-60x faster on the target TPU, where dynamic
+    gathers are pathologically slow (see bench.py notes). The gradient
+    w.r.t. the (straight-through) one-hot flows through the blend weights —
+    the exact gradient of the discrete mixture (the reference instead
+    differentiates the sample coordinates through the angle; both are valid
+    straight-through estimators).
+
+    Candidates sharing a mod-90 residual are factored through one static
+    warp:  R(r + 90k) = rot90^k . R(r)  (square images), so a C8 blend
+    costs one 45-degree 4-tap warp plus seven layout rotations instead of
+    four separate warps.
+
+    Args:
+        x: (B, H, W, C).
+        onehot: (B, num_rotations) selection (may carry straight-through
+            gradients); columns correspond to group_angles(num_rotations).
+        sign: -1 for canonicalize (undo the pose), +1 for invert.
+    """
+    angles = np.linspace(0.0, 360.0, num_rotations + 1)[:num_rotations]
+    square = x.shape[1] == x.shape[2]
+    # group candidates by residual angle mod 90 (square images only)
+    warped_cache: dict = {}
+    out = None
+    for g in range(num_rotations):
+        ang = (sign * float(angles[g])) % 360.0
+        if square:
+            residual = ang % 90.0
+            k = int(round((ang - residual) / 90.0)) % 4
+            if residual not in warped_cache:
+                warped_cache[residual] = (
+                    x if residual == 0.0 else _static_rotate(x, residual, padding_mode)
+                )
+            cand = jnp.rot90(warped_cache[residual], k=k, axes=(1, 2))
+        else:
+            cand = _static_rotate(x, ang, padding_mode)
+        term = cand * onehot[:, g][:, None, None, None]
+        out = term if out is None else out + term
+    return out
 
 
 def warp_affine(

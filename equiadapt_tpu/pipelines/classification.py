@@ -279,17 +279,14 @@ def group_inference(
     reference loops per element with pad(0.4W)/rotate/crop; border sampling
     replaces the sandwich) and reports per-element + mean accuracy.
     """
+    from equiadapt_tpu.ops.pallas.orbit import materialize_orbit
+
     x, labels = batch["image"], batch["label"]
     B = x.shape[0]
-    degrees = group_angles(num_rotations)
     mode = "zeros" if grayscale else "border"
-    xb = jnp.broadcast_to(x[None], (num_rotations,) + x.shape).reshape(
-        (num_rotations * B,) + x.shape[1:]
+    orbit = materialize_orbit(
+        x, num_rotations, group_type=group_type, padding_mode=mode
     )
-    ang = jnp.repeat(-degrees, B)
-    orbit = rotate(xb, ang, padding_mode=mode)
-    if group_type == "roto-reflection":
-        orbit = jnp.concatenate([orbit, hflip(orbit)], axis=0)
     G = orbit.shape[0] // B
     logits, _ = state.apply_fn(
         {"params": state.params, "batch_stats": state.batch_stats},

@@ -21,10 +21,22 @@ __all__ = ["MetricLogger", "EarlyStopping"]
 
 
 class MetricLogger:
-    def __init__(self, log_path: Optional[str] = None):
+    def __init__(self, log_path: Optional[str] = None, use_wandb: bool = False):
+        """JSONL-first logger; `use_wandb=True` mirrors flushes to a wandb
+        run if the package is importable and a run is active (the
+        reference's WandbLogger surface, optional here by design)."""
         self.log_path = log_path
         self._sums: Dict[str, float] = defaultdict(float)
         self._counts: Dict[str, int] = defaultdict(int)
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                if wandb.run is not None:
+                    self._wandb = wandb
+            except ImportError:
+                pass
         if log_path:
             os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)
 
@@ -44,6 +56,8 @@ class MetricLogger:
         if self.log_path:
             with open(self.log_path, "a") as f:
                 f.write(json.dumps({"step": step, "time": time.time(), **means}) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(means, step=step)
         return means
 
 
