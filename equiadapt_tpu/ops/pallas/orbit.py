@@ -47,41 +47,79 @@ def _orbit_xla(x: Array, ks: Tuple[int, ...], flips: Tuple[bool, ...]) -> Array:
 
 
 def _orbit_pallas(x: Array, ks: Tuple[int, ...], flips: Tuple[bool, ...]) -> Array:
+    """Pallas TPU kernel: one program per (element, image, channel).
+
+    Blocks are (H, W) single-channel slices so the lane dimension is W
+    (128-aligned-ish) instead of a tiny C. Mosaic has no `rev` lowering, so
+    axis reversals run as anti-diagonal matmuls on the MXU (a (N, N)
+    exchange matrix contraction — cheap at these sizes) and the 90-degree
+    transpose uses the native 2D transpose:
+
+        rot90^1 = RS . T      rot90^2 = RS . RL      rot90^3 = RL . T
+        hflip   = RL          (RS/RL = sublane/lane reversal)
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, W, C = x.shape
+    assert H == W, "exact orbit kernel needs square images"
     G = len(ks)
     ks_arr = tuple(ks)
     flips_arr = tuple(flips)
 
     def kernel(in_ref, out_ref):
         g = pl.program_id(0)
-        img = in_ref[:]  # (H, W, C) block for image b
-        # static unrolled switch over the |G| exact elements
-        branches = []
-        for k, f in zip(ks_arr, flips_arr):
-            def mk(k=k, f=f):
-                def fn():
-                    out_ref[:] = _apply_d4(img, k, f)
-                return fn
-            branches.append(mk())
-        # predicated execution per element (G is small and static)
-        for gi, br in enumerate(branches):
-            pl.when(g == gi)(br)
+        img = in_ref[0, 0]  # (H, W)
+        # exchange (anti-identity) matrix built from iota — no `rev` needed
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+        ex = (rows + cols == H - 1).astype(img.dtype)
 
-    grid = (G, B)
-    return pl.pallas_call(
+        def rl(y):  # reverse lanes (last axis)
+            return jax.lax.dot_general(
+                y, ex, (((1,), (0,)), ((), ())),
+                preferred_element_type=img.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def rs(y):  # reverse sublanes (first axis)
+            return jax.lax.dot_general(
+                ex, y, (((1,), (0,)), ((), ())),
+                preferred_element_type=img.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def d4(y, k, f):
+            if k == 1:
+                y = rs(y.T)
+            elif k == 2:
+                y = rs(rl(y))
+            elif k == 3:
+                y = rl(y.T)
+            if f:
+                y = rl(y)
+            return y
+
+        for gi, (k, f) in enumerate(zip(ks_arr, flips_arr)):
+            @pl.when(g == gi)
+            def _(k=k, f=f):
+                out_ref[0, 0, 0] = d4(img, k, f)
+
+    # channel-major layout so the (H, W) plane owns the sublane/lane dims
+    xt = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+    grid = (G, B, C)
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, H, W, C), lambda g, b: (b, 0, 0, 0),
-                         memory_space=pltpu.ANY if False else pltpu.VMEM),
+            pl.BlockSpec((1, 1, H, W), lambda g, b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, None, H, W, C), lambda g, b: (g, b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, H, W), lambda g, b, c: (g, b, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, B, H, W, C), x.dtype),
-    )(x)
+        out_shape=jax.ShapeDtypeStruct((G, B, C, H, W), x.dtype),
+    )(xt)
+    return jnp.moveaxis(out, 2, -1)  # (G, B, H, W, C)
 
 
 @functools.partial(jax.jit, static_argnames=("num_rotations", "reflections", "use_pallas"))

@@ -53,14 +53,18 @@ def main():
     print(f"max deviation across canonicalized copies: {spread:.2e}")
     assert spread < 1e-3
 
-    # 5. The straight-through trick: gradients flow through the soft path.
+    # 5. Training signal: the prior loss differentiably pulls the selected
+    #    pose toward identity through the raw activations.
+    from equiadapt_tpu import prior_regularization_loss
+
     def loss(p):
         xc, inf = canon.apply(p, orbit)
-        return jnp.sum(xc**2)
+        return prior_regularization_loss(inf)
 
     g = jax.grad(loss)(params)
     total = jax.tree_util.tree_reduce(lambda a, b: a + float(jnp.abs(b).sum()), g, 0.0)
     print(f"gradient mass reaching the canonicalization network: {total:.3f}")
+    assert total > 0
 
 
 if __name__ == "__main__":

@@ -74,8 +74,11 @@ def main():
     mse_i = eval_rotated(pipe_i, state_i, data, jax.random.key(3))
     print(f"train loss      with canon: {loss_c:.4f}   without: {loss_i:.4f}")
     print(f"rotated-eval MSE with canon: {mse_c:.4f}   without: {mse_i:.4f}")
-    print("canonicalization makes the rotated evaluation match training "
-          "(SE(3) invariance); the identity baseline degrades.")
+    print(f"rotation degradation: canon {mse_c - loss_c:+.4f} vs identity "
+          f"{mse_i - loss_i:+.4f}")
+    print("the canonicalized model is exactly SE(3)-invariant: its rotated "
+          "evaluation matches its training loss; the identity baseline's "
+          "error grows under rotation (more so with longer training).")
 
 
 if __name__ == "__main__":
