@@ -1,3 +1,4 @@
+from equiadapt_tpu.models.detection import MaskRCNNLite, maskrcnn_lite_loss
 from equiadapt_tpu.models.egnn import (
     GCL,
     GCLRF,
@@ -23,6 +24,8 @@ from equiadapt_tpu.models.resnet import (
 from equiadapt_tpu.models.vit import ViT, ViTB16
 
 __all__ = [
+    "MaskRCNNLite",
+    "maskrcnn_lite_loss",
     "GCL",
     "GCLRF",
     "GNN",

@@ -194,6 +194,21 @@ def get_pointcloud_prediction_network(
     raise ValueError(f"{architecture} is not implemented")
 
 
+def get_segmentation_prediction_network(
+    architecture: str, num_classes: int = 91, **kw
+) -> nn.Module:
+    """Segmentation model registry (reference segmentation/model_utils.py:
+    245-278: {"sam": SAMModel, "maskrcnn": MaskRCNNModel})."""
+    from equiadapt_tpu.models.detection import MaskRCNNLite
+    from equiadapt_tpu.models.segmentation import SAMLite
+
+    if architecture == "sam":
+        return SAMLite(**kw)
+    if architecture == "maskrcnn":
+        return MaskRCNNLite(num_classes=num_classes, **kw)
+    raise ValueError(f"{architecture} is not implemented as a segmentation network")
+
+
 def get_nbody_prediction_network(cfg: PredictionConfig) -> nn.Module:
     if cfg.architecture == "GNN":
         return GNN(hidden_dim=cfg.hidden_dim, num_layers=cfg.num_layers)
