@@ -169,6 +169,7 @@ def segmentation_group_inference(
     results = {}
     maps = []
     reflections = (0, 1) if group_type == "roto-reflection" else (0,)
+    apply_jit = jax.jit(lambda v, xi, ti: state.apply_fn(v, xi, ti, training=False))
     for refl in reflections:
         for g in range(num_rotations):
             ang = jnp.full((B,), -float(degrees[g]))
@@ -185,9 +186,7 @@ def segmentation_group_inference(
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            ((_, tc, pred_masks, ious), _info) = state.apply_fn(
-                variables, xi, ti, training=False
-            )
+            ((_, tc, pred_masks, ious), _info) = apply_jit(variables, xi, ti)
             m = mask_iou_map_metric(pred_masks, ious, tc["masks"], tc["valid"])
             idx = g + refl * num_rotations
             results[f"test/map_element_{idx}"] = m

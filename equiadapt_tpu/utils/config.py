@@ -193,3 +193,38 @@ def load_yaml(path: str) -> Config:
 
     with open(path) as f:
         return Config.from_dict(yaml.safe_load(f))
+
+
+def load_env_file(path: str = ".env") -> Dict[str, str]:
+    """Parse a .env of `export KEY=value` lines into os.environ
+    (the reference's python-dotenv flow, train_utils.py:133-143; recognized
+    keys: DATA_PATH, CHECKPOINT_PATH, WANDB_* ...)."""
+    import os
+
+    loaded = {}
+    if not os.path.isfile(path):
+        return loaded
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if line.startswith("export "):
+                line = line[len("export "):]
+            key, _, val = line.partition("=")
+            val = val.strip().strip('"').strip("'")
+            os.environ[key.strip()] = val
+            loaded[key.strip()] = val
+    return loaded
+
+
+def apply_env_paths(cfg: Config) -> Config:
+    """Fill dataset/checkpoint paths from DATA_PATH / CHECKPOINT_PATH env."""
+    import os
+
+    overrides = []
+    if os.environ.get("DATA_PATH"):
+        overrides.append(f"dataset.data_path={os.environ['DATA_PATH']}")
+    if os.environ.get("CHECKPOINT_PATH") and not cfg.checkpoint.checkpoint_path:
+        overrides.append(f"checkpoint.checkpoint_path={os.environ['CHECKPOINT_PATH']}")
+    return cfg.override(*overrides) if overrides else cfg
