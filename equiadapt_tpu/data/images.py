@@ -32,6 +32,7 @@ __all__ = [
     "load_stl10",
     "load_rotated_mnist",
     "image_batch_iterator",
+    "rand_augment",
     "DATASET_STATS",
 ]
 
@@ -139,6 +140,44 @@ def load_rotated_mnist(data_path: str) -> Tuple[Dict[str, np.ndarray], Dict[str,
     return _load(train_f), _load(test_f)
 
 
+def rand_augment(
+    rng: jax.Array, images: jnp.ndarray, num_ops: int = 2, magnitude: float = 0.5
+) -> jnp.ndarray:
+    """RandAugment-style policy (the jit-friendly stand-in for the
+    reference's torchvision AutoAugment option, prepare/cifar_data.py):
+    per image, apply `num_ops` randomly chosen ops from
+    {identity, hflip, rotate, brightness, contrast, solarize} with random
+    magnitudes, as one batched `lax.switch`-free blend.
+    """
+    from equiadapt_tpu.ops.warp import rotate as _rot
+
+    B = images.shape[0]
+
+    def apply_one(rng, x):
+        k_op, k_m = jax.random.split(rng)
+        op = jax.random.randint(k_op, (B,), 0, 6)
+        m = jax.random.uniform(k_m, (B,), minval=-magnitude, maxval=magnitude)
+        mb = m[:, None, None, None]
+        candidates = jnp.stack(
+            [
+                x,
+                x[:, :, ::-1, :],
+                _rot(x, m * 60.0, padding_mode="border"),
+                x + mb,  # brightness
+                (x - x.mean(axis=(1, 2, 3), keepdims=True)) * (1 + mb)
+                + x.mean(axis=(1, 2, 3), keepdims=True),  # contrast
+                jnp.where(x > jnp.abs(mb), -x, x),  # solarize
+            ],
+            axis=0,
+        )
+        oh = jax.nn.one_hot(op, 6, dtype=x.dtype)
+        return jnp.einsum("gbhwc,bg->bhwc", candidates, oh)
+
+    for i in range(num_ops):
+        images = apply_one(jax.random.fold_in(rng, i), images)
+    return images
+
+
 def image_batch_iterator(
     rng: jax.Array,
     data: Dict[str, np.ndarray],
@@ -156,7 +195,7 @@ def image_batch_iterator(
         idx = order[i * batch_size : (i + 1) * batch_size]
         img = jnp.asarray(data["image"][idx])
         lab = jnp.asarray(data["label"][idx])
-        if augment in ("flip", "rotation"):
+        if augment in ("flip", "rotation", "autoaugment"):
             k1, k2, rng = jax.random.split(rng, 3)
             flip = jax.random.bernoulli(k1, 0.5, (batch_size,))
             img = jnp.where(flip[:, None, None, None], img[:, :, ::-1, :], img)
@@ -165,4 +204,6 @@ def image_batch_iterator(
 
                 ang = jax.random.choice(k2, group_angles(num_rotations), (batch_size,))
                 img = rotate(img, ang, padding_mode="border")
+            elif augment == "autoaugment":
+                img = rand_augment(k2, img)
         yield {"image": img, "label": lab}
