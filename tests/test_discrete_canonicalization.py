@@ -214,3 +214,20 @@ def test_gumbel_trick_canonicalizer():
         mutable=["batch_stats"],
     )
     np.testing.assert_allclose(np.asarray(jnp.sum(info.onehot, -1)), 1.0, atol=1e-5)
+
+
+def test_optimized_canonicalizer_selection_shifts_under_rotation():
+    """Orbit-scoring selection obeys the regular-rep shift law at exact 90s."""
+    net = ConvNetwork(in_channels=3, out_channels=8, kernel_size=3,
+                      num_layers=1, out_vector_size=16)
+    canon = OptimizedGroupEquivariantImageCanonicalization(
+        canonicalization_network=net, in_shape=(16, 16, 3),
+        num_rotations=4, group_type="rotation", out_vector_size=16,
+    )
+    x = _x(b=2)
+    variables = canon.init({"params": KEY, "dropout": jax.random.key(1)}, x)
+    _, info = canon.apply(variables, x)
+    _, info_rot = canon.apply(variables, rot90(x, 1))
+    sel = np.argmax(np.asarray(info.group_activations), -1)
+    sel_rot = np.argmax(np.asarray(info_rot.group_activations), -1)
+    np.testing.assert_array_equal((sel + 1) % 4, sel_rot)

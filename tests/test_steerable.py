@@ -114,3 +114,25 @@ def test_optimized_steerable_gt_matrices_are_rotations():
     gt = np.asarray(info.extras["matrix_rep_augmented_gt"])
     eye = np.broadcast_to(np.eye(2), gt.shape)
     np.testing.assert_allclose(gt @ gt.transpose(0, 2, 1), eye, atol=1e-5)
+
+
+def test_steerable_canonicalizer_approx_invariance_arbitrary_angle():
+    """Non-90 rotations: invariance holds to interpolation tolerance."""
+    from equiadapt_tpu.ops.warp import rotate
+
+    net = SteerableNetwork(in_channels=1, out_channels=4, kernel_size=5, num_layers=1)
+    canon = SteerableImageCanonicalization(
+        canonicalization_network=net, in_shape=(33, 33, 1), group_type="rotation"
+    )
+    # smooth image so bilinear interpolation error is small
+    yy, xx = np.meshgrid(np.linspace(-1, 1, 33), np.linspace(-1, 1, 33), indexing="ij")
+    img = np.exp(-3 * (xx**2 + yy**2)) * (xx + 0.5 * yy)
+    x = jnp.asarray(img[None, ..., None].astype(np.float32))
+    params = canon.init(KEY, x)
+    x_c, _ = canon.apply(params, x)
+    x_rot = rotate(x, 25.0, padding_mode="zeros")
+    x_cr, _ = canon.apply(params, x_rot)
+    # compare central region (borders differ by fill)
+    a = np.asarray(x_c)[0, 10:23, 10:23, 0]
+    b = np.asarray(x_cr)[0, 10:23, 10:23, 0]
+    assert np.abs(a - b).mean() < 0.05
