@@ -165,15 +165,23 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
                 x = (1.0 - r) * x + r * hflip(x)
             # rotation one-hot (collapses the reflection coset for D_n);
             # static-tap warp blend — identical numerics to
-            # rotate(x, -theta), ~50x faster (see ops/warp.rotate_discrete)
+            # rotate(x, -theta), ~50x faster (see ops/warp.rotate_discrete).
+            # In eval the one-hot is hard and carries no gradient, so the
+            # single-pass pallas select kernel applies (bit-identical).
             n = self.num_rotations
             rot_onehot = (
                 onehot[:, :n] + onehot[:, n:] if self.group_type == "roto-reflection"
                 else onehot
             )
-            x = rotate_discrete(
-                x, rot_onehot, n, sign=-1.0, padding_mode=self.padding_mode
-            )
+            if training:
+                x = rotate_discrete(
+                    x, rot_onehot, n, sign=-1.0, padding_mode=self.padding_mode
+                )
+            else:
+                from equiadapt_tpu.ops.pallas.select_warp import rotate_select
+
+                idx = jnp.argmax(rot_onehot, axis=-1)
+                x = rotate_select(x, idx, n, -1.0, self.padding_mode)
 
         info = DiscreteCanonicalizationInfo(
             group_activations=acts,

@@ -89,21 +89,28 @@ def get_action_on_image_features(
         induced_rep_type: "regular" | "scalar" ("vector" is unimplemented in
             the reference, images/utils.py:90-92, and likewise here).
     """
+    from equiadapt_tpu.ops.pallas.select_warp import rotate_select
+
     B, H, W, C = feature_map.shape
-    if rotation_onehot is None:
-        # group angles are discrete: recover the hard one-hot (matches the
-        # reference's non-differentiable `.long()` shift, images/utils.py:28)
-        step = 360.0 / num_rotations
-        idx = jnp.mod(jnp.round(rotation_deg / step).astype(jnp.int32), num_rotations)
-        rotation_onehot = jax.nn.one_hot(idx, num_rotations, dtype=feature_map.dtype)
+    step = 360.0 / num_rotations
+    idx = jnp.mod(jnp.round(rotation_deg / step).astype(jnp.int32), num_rotations)
+
+    def _rot(y):
+        # hard selection (matches the reference's non-differentiable `.long()`
+        # shift, images/utils.py:28). If a differentiable one-hot was given,
+        # keep the blend path so gradients reach the selection.
+        if rotation_onehot is not None:
+            return rotate_discrete(
+                y, rotation_onehot, num_rotations, sign=1.0, padding_mode="zeros"
+            )
+        return rotate_select(y, idx, num_rotations, 1.0, "zeros")
+
     if induced_rep_type == "regular":
         if C % num_group != 0:
             raise ValueError(
                 f"regular rep needs channels divisible by |G|={num_group}, got {C}"
             )
-        x_out = rotate_discrete(
-            feature_map, rotation_onehot, num_rotations, sign=1.0, padding_mode="zeros"
-        )
+        x_out = _rot(feature_map)
         if reflection is not None:
             r = reflection[:, None, None, None]
             x_out = (1.0 - r) * x_out + r * hflip(x_out)
@@ -117,9 +124,7 @@ def get_action_on_image_features(
             x_out = roll_by_gather(x_out, shift)
         return x_out.reshape(B, H, W, C)
     if induced_rep_type == "scalar":
-        x_out = rotate_discrete(
-            feature_map, rotation_onehot, num_rotations, sign=1.0, padding_mode="zeros"
-        )
+        x_out = _rot(feature_map)
         if reflection is not None:
             r = reflection[:, None, None, None]
             x_out = (1.0 - r) * x_out + r * hflip(x_out)

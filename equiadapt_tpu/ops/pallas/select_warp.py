@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: single-pass per-sample discrete rotation select.
+
+`rotate_discrete` (ops/warp.py) blends |G| candidates — correct and
+differentiable, but it touches HBM ~2|G| times. At inference (hard one-hot,
+no gradient through the selection) only ONE candidate per sample is needed:
+this kernel reads each image once and writes its selected rotation once.
+
+The per-sample element index arrives as a *scalar-prefetch* argument, so it
+can steer the input BlockSpec: for C8, odd elements read their block from a
+pre-warped +45-degree copy (R(45 + 90k) = rot90^k . R(45)), even elements
+from the original — the index_map picks the source plane before the kernel
+body runs. The in-kernel rot90 uses the same exchange-matrix MXU reversals
+as the orbit kernel (Mosaic has no `rev`).
+
+Traffic: one read + one write of the batch (plus one static-tap 45-degree
+warp for C8), versus ~2|G| passes for the blend. Exact same numerics as
+`rotate_discrete` with a hard one-hot (tests assert bit-equality in
+interpret mode; the TPU check script asserts it on hardware).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+__all__ = ["pallas_rotate_select", "rotate_select"]
+
+
+def _kernel_factory(H: int, W: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(k_ref, src_ref, out_ref):
+        b = pl.program_id(0)
+        k = k_ref[b] % 4
+        img = src_ref[0, 0, 0]  # (H, W)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+        ex = (rows + cols == H - 1).astype(img.dtype)
+
+        def rl(y):
+            return jax.lax.dot_general(
+                y, ex, (((1,), (0,)), ((), ())),
+                preferred_element_type=img.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def rs(y):
+            return jax.lax.dot_general(
+                ex, y, (((1,), (0,)), ((), ())),
+                preferred_element_type=img.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[0, 0] = img
+
+        @pl.when(k == 1)
+        def _():
+            out_ref[0, 0] = rs(img.T)
+
+        @pl.when(k == 2)
+        def _():
+            out_ref[0, 0] = rs(rl(img))
+
+        @pl.when(k == 3)
+        def _():
+            out_ref[0, 0] = rl(img.T)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_select(sources: Array, src_idx: Array, k_idx: Array, interpret: bool = False) -> Array:
+    """sources: (S, B, C, H, W); per sample pick plane (src_idx[b], b, c) and
+    rot90 it by k_idx[b]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, B, C, H, W = sources.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # src_idx, k_idx
+        grid=(B, C),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, H, W),
+                lambda b, c, src_ref, k_ref: (src_ref[b], b, c, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H, W), lambda b, c, src_ref, k_ref: (b, c, 0, 0)),
+    )
+
+    def kernel(src_ref, k_ref, in_ref, out_ref):
+        base = _kernel_factory(H, W)
+        base(k_ref, in_ref, out_ref)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), sources.dtype),
+        interpret=interpret,
+    )(src_idx.astype(jnp.int32), k_idx.astype(jnp.int32), sources)
+
+
+def pallas_rotate_select(
+    x: Array,
+    idx: Array,
+    num_rotations: int,
+    sign: float = -1.0,
+    padding_mode: str = "border",
+    interpret: bool = False,
+) -> Array:
+    """Single-pass select: out[b] = rotate(x[b], sign * theta_{idx[b]}).
+
+    Supports num_rotations in {1, 2, 4, 8} on square NHWC images. Matches
+    `rotate_discrete` with the hard one-hot of `idx` exactly.
+    """
+    from equiadapt_tpu.ops.warp import _static_rotate
+
+    B, H, W, C = x.shape
+    assert H == W, "select kernel needs square images"
+    assert num_rotations in (1, 2, 4, 8), num_rotations
+
+    step = num_rotations  # elements
+    s = jnp.int32(1 if sign > 0 else -1)
+    m = jnp.mod(s * idx.astype(jnp.int32), num_rotations)
+    if num_rotations == 8:
+        x45 = _static_rotate(x, 45.0, padding_mode)
+        sources = jnp.stack(
+            [jnp.moveaxis(x, -1, 1), jnp.moveaxis(x45, -1, 1)], axis=0
+        )  # (2, B, C, H, W)
+        src_idx = m % 2
+        k_idx = m // 2
+    else:
+        sources = jnp.moveaxis(x, -1, 1)[None]  # (1, B, C, H, W)
+        src_idx = jnp.zeros_like(m)
+        k_idx = m * (4 // num_rotations)
+    out = _pallas_select(sources, src_idx, k_idx, interpret=interpret)
+    return jnp.moveaxis(out, 1, -1)
+
+
+def _blend_ref(x: Array, idx: Array, num_rotations: int, sign: float, padding_mode: str) -> Array:
+    from equiadapt_tpu.ops.warp import rotate_discrete
+
+    onehot = jax.nn.one_hot(idx, num_rotations, dtype=x.dtype)
+    return rotate_discrete(x, onehot, num_rotations, sign, padding_mode)
+
+
+def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode):
+    if (
+        jax.default_backend() == "tpu"
+        and x.shape[1] == x.shape[2]
+        and num_rotations in (1, 2, 4, 8)
+    ):
+        return pallas_rotate_select(x, idx, num_rotations, sign, padding_mode)
+    return _blend_ref(x, idx, num_rotations, sign, padding_mode)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def rotate_select(
+    x: Array,
+    idx: Array,
+    num_rotations: int,
+    sign: float = -1.0,
+    padding_mode: str = "border",
+) -> Array:
+    """Backend-dispatching single-pass select: pallas on TPU, blend elsewhere.
+
+    Differentiable in `x` via a custom VJP: the op is linear in x, so the
+    backward pass is the linear transpose of the (numerically identical)
+    blend formulation — gathers transpose to scatters, rot90s to their
+    inverses. No gradient flows to `idx` (matches the reference's hard
+    selection in invert, images/utils.py:28).
+    """
+    return _rotate_select_impl(x, idx, num_rotations, sign, padding_mode)
+
+
+def _rs_fwd(x, idx, num_rotations, sign, padding_mode):
+    out = _rotate_select_impl(x, idx, num_rotations, sign, padding_mode)
+    # zero-size token carries x's shape/dtype into bwd without retaining x
+    token = jnp.zeros((0,) + x.shape, x.dtype)
+    return out, (idx, token)
+
+
+def _rs_bwd(num_rotations, sign, padding_mode, res, g):
+    idx, token = res
+    f = lambda xx: _blend_ref(xx, idx, num_rotations, sign, padding_mode)
+    spec = jax.ShapeDtypeStruct(token.shape[1:], token.dtype)
+    (dx,) = jax.linear_transpose(f, spec)(g)
+    d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return dx, d_idx
+
+
+rotate_select.defvjp(_rs_fwd, _rs_bwd)

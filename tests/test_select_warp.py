@@ -1,0 +1,52 @@
+"""Single-pass select kernel == hard-one-hot rotate_discrete (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from equiadapt_tpu.ops.pallas.select_warp import pallas_rotate_select, rotate_select
+from equiadapt_tpu.ops.warp import rotate_discrete
+
+
+def _x(b=4, h=16, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b, h, h, c)).astype(np.float32))
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
+@pytest.mark.parametrize("sign", [-1.0, 1.0])
+def test_select_matches_blend(n, sign):
+    x = _x(b=max(n, 2))
+    idx = jnp.arange(x.shape[0]) % n
+    sel = pallas_rotate_select(x, idx, n, sign=sign, padding_mode="border",
+                               interpret=True)
+    onehot = jax.nn.one_hot(idx, n)
+    blend = rotate_discrete(x, onehot, n, sign=sign, padding_mode="border")
+    np.testing.assert_allclose(np.asarray(sel), np.asarray(blend), atol=1e-5)
+
+
+def test_rotate_select_dispatch_fallback_cpu():
+    # on CPU the wrapper falls back to the blend path
+    x = _x()
+    idx = jnp.asarray([0, 1, 2, 3])
+    out = rotate_select(x, idx, 4)
+    expect = rotate_discrete(x, jax.nn.one_hot(idx, 4), 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-6)
+
+
+def test_rotate_select_gradient_is_blend_transpose():
+    x = _x(b=4)
+    idx = jnp.asarray([0, 1, 2, 3])
+
+    def loss_sel(xx):
+        return jnp.sum(rotate_select(xx, idx, 4, -1.0, "border") ** 2)
+
+    def loss_blend(xx):
+        return jnp.sum(
+            rotate_discrete(xx, jax.nn.one_hot(idx, 4), 4, -1.0, "border") ** 2
+        )
+
+    g1 = jax.grad(loss_sel)(x)
+    g2 = jax.grad(loss_blend)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
