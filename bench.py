@@ -85,11 +85,12 @@ def bench_jax() -> float:
         acts = net.apply(params, s)
         onehot = straight_through_onehot(acts, training=False)
         ang = jnp.sum(onehot * group_angles(NUM_ROT), -1)
-        # static-tap discrete warps (the production canonicalize/invert path)
+        # production path: differentiable blend for canonicalize, hard
+        # single-pass pallas select for invert (reference invert is hard too)
         x_c = rotate_discrete(x, onehot, NUM_ROT, sign=-1.0, padding_mode="border")
         y_inv = get_action_on_image_features(
             y, num_rotations=NUM_ROT, num_group=NUM_ROT,
-            rotation_deg=ang, rotation_onehot=onehot, induced_rep_type="regular",
+            rotation_deg=ang, induced_rep_type="regular",
         )
         return x_c, y_inv
 
