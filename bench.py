@@ -1,10 +1,13 @@
-"""North-star benchmark: canonicalize + invert throughput at 224px, C8.
+"""North-star benchmark: canonicalize + invert throughput and wrapper
+overhead at 224px, C8, batch 256 (BASELINE.md north-star shape).
 
-Measures the BASELINE.md driver metric — images/sec/chip through the full
-discrete canonicalization path (C8 group-equivariant energy network ->
-straight-through element selection -> inverse-rotation warp) plus
-invert_canonicalization of a regular-rep output feature map — on the
-default JAX device (the real TPU chip under the driver).
+Two production-relevant variants are measured through the real library path
+(GroupEquivariantImageCanonicalization + ResNet-50):
+
+* fast/bf16 — warp_mode="fast" (two-pass MXU residual warps,
+  ops/warp.rotate_twopass) with bf16 compute: the production serving mode.
+* exact/fp32 — warp_mode="exact" (static-tap 4-tap warps, torch-parity
+  numerics): the reference-parity mode.
 
 Baseline: a fresh torch-CPU implementation of the same algorithm the
 reference executes (pad/edge -> grid_sample rotation -> crop; rotated-filter
@@ -13,7 +16,13 @@ to images/sec (BASELINE.md "proxies to measure ourselves"; the reference
 itself cannot run here — kornia/e2cnn are not installed — and kornia's
 rotate is grid_sample underneath).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
+the extra keys carry the wrapper-overhead percentages the driver tracks
+(BASELINE.json names both the throughput and the <5% overhead north stars).
+
+Timing methodology (docs/benchmarking.md): params as jit arguments (never
+closed over), iterations chained through a scalar data dependency, one host
+fetch at the end, several discarded warm rounds.
 """
 
 from __future__ import annotations
@@ -26,12 +35,15 @@ import numpy as np
 
 IMAGE = 224
 NUM_ROT = 8
-BATCH_TPU = 64
+BATCH_TPU = 256
 BATCH_TORCH = 8
 FEATURE_CH = 16  # regular-rep output channels for invert (2 fields x |G|)
+RESIZE = 64
+CROP_RATIO = 0.9
+ITERS = 10
 
 
-def bench_jax() -> float:
+def bench_jax() -> dict:
     import jax
 
     # persistent compile cache: the axon remote-compile service has highly
@@ -47,67 +59,116 @@ def bench_jax() -> float:
         EquivariantNetwork,
         GroupEquivariantImageCanonicalization,
     )
-
-    from equiadapt_tpu.common.selector import straight_through_onehot
+    from equiadapt_tpu.models import ResNet50
     from equiadapt_tpu.ops.group_action import get_action_on_image_features
-    from equiadapt_tpu.ops.warp import (
-        center_crop,
-        group_angles,
-        resize,
-        rotate_discrete,
-    )
 
     net = EquivariantNetwork(
         in_channels=3, out_channels=8, kernel_size=3, group_type="rotation",
         num_rotations=NUM_ROT, num_layers=2,
     )
+
+    def make_canon(mode, dtype):
+        return GroupEquivariantImageCanonicalization(
+            canonicalization_network=net, in_shape=(IMAGE, IMAGE, 3),
+            input_crop_ratio=CROP_RATIO, resize_shape=RESIZE,
+            num_rotations=NUM_ROT, group_type="rotation",
+            warp_mode=mode, compute_dtype=dtype,
+        )
+
+    canon_fast = make_canon("fast", jnp.bfloat16)
+    canon_exact = make_canon("exact", None)
+    resnet_f32 = ResNet50(num_classes=10, small_images=False)
+    resnet_bf16 = ResNet50(num_classes=10, small_images=False, dtype=jnp.bfloat16)
+
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(BATCH_TPU, IMAGE, IMAGE, 3)).astype(np.float32))
     y = jnp.asarray(
         rng.normal(size=(BATCH_TPU, IMAGE, IMAGE, FEATURE_CH)).astype(np.float32)
     )
-    small = jnp.zeros((BATCH_TPU, 64, 64, 3), jnp.float32)
-    # jit the init too: eager per-op dispatch is pathologically slow through
+    small = jnp.zeros((2, IMAGE, IMAGE, 3), jnp.float32)
+    # jit the inits: eager per-op dispatch is pathologically slow through
     # the axon tunnel
-    params = jax.jit(net.init)(jax.random.key(0), small)
+    canon_params = jax.jit(lambda k, s: canon_exact.init(k, s, training=False))(
+        jax.random.key(0), small
+    )
+    res_params = jax.jit(lambda k, s: resnet_f32.init(k, s, training=False))(
+        jax.random.key(1), small
+    )
 
-    # IMPORTANT: params are passed as jit *arguments*, never closed over.
-    # Closed-over params become baked HLO constants, which on the axon
-    # toolchain cause minutes-long remote compiles and flip the runtime
-    # into a mode where subsequent gather programs run ~100x slower.
-    crop = int(np.ceil(IMAGE * 0.9))
+    def timed_ms(fn, *args) -> float:
+        f = jax.jit(fn)
+        s = f(*args, jnp.float32(0.0))
+        float(s)  # compile + sync
+        for _ in range(2):  # discard slow first rounds (runtime warm-up)
+            s = f(*args, s * 0.0)
+            float(s)
+        t0 = time.perf_counter()
+        for k in range(ITERS):
+            s = f(*args, s * 1e-30 + jnp.float32(k))
+        float(s)
+        return (time.perf_counter() - t0) / ITERS * 1e3
 
-    @jax.jit
-    def step_fn(params, x, y, i):
-        # fold the iteration index in: defeats any runtime result caching
-        x = x + i * 1e-9
-        s = resize(center_crop(x, (crop, crop)), (64, 64))
-        acts = net.apply(params, s)
-        onehot = straight_through_onehot(acts, training=False)
-        ang = jnp.sum(onehot * group_angles(NUM_ROT), -1)
-        # production path: differentiable blend for canonicalize, hard
-        # single-pass pallas select for invert (reference invert is hard too)
-        x_c = rotate_discrete(x, onehot, NUM_ROT, sign=-1.0, padding_mode="border")
-        y_inv = get_action_on_image_features(
-            y, num_rotations=NUM_ROT, num_group=NUM_ROT,
-            rotation_deg=ang, induced_rep_type="regular",
+    def canon_invert(canon, mode, dtype):
+        def step(cp, xx, yy, i):
+            xx = xx + i * 1e-9  # defeat result caching; chain iterations
+            x_c, info = canon.apply(cp, xx, training=False)
+            yy = yy.astype(dtype) if dtype is not None else yy
+            y_inv = get_action_on_image_features(
+                yy, num_rotations=NUM_ROT, num_group=NUM_ROT,
+                rotation_deg=info.element.rotation_deg,
+                induced_rep_type="regular", mode=mode,
+            )
+            return jnp.sum(x_c.astype(jnp.float32)) + jnp.sum(
+                y_inv.astype(jnp.float32)
+            )
+
+        return step
+
+    def bare(resnet):
+        def step(rp, xx, i):
+            logits = resnet.apply(rp, xx + i * 1e-9, training=False)
+            return jnp.sum(logits.astype(jnp.float32))
+
+        return step
+
+    def wrapped(canon, resnet):
+        def step(cp, rp, xx, i):
+            x_c, _ = canon.apply(cp, xx + i * 1e-9, training=False)
+            logits = resnet.apply(rp, x_c, training=False)
+            return jnp.sum(logits.astype(jnp.float32))
+
+        return step
+
+    def cast_params(p):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p
         )
-        return x_c, y_inv
 
-    # warmup + timing: iterations are *chained* (each step consumes the
-    # previous step's outputs) and completion is forced by fetching a
-    # dependent scalar — on this runtime block_until_ready returns at
-    # enqueue-ack, so only a host fetch proves the device finished
-    reduce_fn = jax.jit(lambda a, b: jnp.sum(a) + jnp.sum(b))
-    x_c, y_inv = step_fn(params, x, y, jnp.float32(0))
-    float(reduce_fn(x_c, y_inv))  # warm + sync
-    iters = 10
-    t0 = time.perf_counter()
-    for k in range(iters):
-        x_c, y_inv = step_fn(params, x_c, y_inv, jnp.float32(k + 1))
-    float(reduce_fn(x_c, y_inv))
-    dt = (time.perf_counter() - t0) / iters
-    return BATCH_TPU / dt
+    res_params_bf16 = cast_params(res_params)
+    out = {}
+    out["tput_fast_ms"] = timed_ms(
+        canon_invert(canon_fast, "fast", jnp.bfloat16), canon_params, x, y
+    )
+    out["tput_exact_ms"] = timed_ms(
+        canon_invert(canon_exact, "exact", None), canon_params, x, y
+    )
+    out["bare_fp32_ms"] = timed_ms(bare(resnet_f32), res_params, x)
+    out["wrapped_fp32_exact_ms"] = timed_ms(
+        wrapped(canon_exact, resnet_f32), canon_params, res_params, x
+    )
+    out["bare_bf16_ms"] = timed_ms(bare(resnet_bf16), res_params_bf16, x)
+    out["wrapped_bf16_fast_ms"] = timed_ms(
+        wrapped(canon_fast, resnet_bf16), canon_params, res_params_bf16, x
+    )
+    out["tput_fast_img_s"] = BATCH_TPU / out["tput_fast_ms"] * 1e3
+    out["tput_exact_img_s"] = BATCH_TPU / out["tput_exact_ms"] * 1e3
+    out["overhead_bf16_fast_pct"] = 100.0 * (
+        out["wrapped_bf16_fast_ms"] / out["bare_bf16_ms"] - 1.0
+    )
+    out["overhead_fp32_exact_pct"] = 100.0 * (
+        out["wrapped_fp32_exact_ms"] / out["bare_fp32_ms"] - 1.0
+    )
+    return out
 
 
 def bench_torch_cpu() -> float:
@@ -152,10 +213,11 @@ def bench_torch_cpu() -> float:
 
     def canonicalize_invert(x: torch.Tensor, y: torch.Tensor):
         # pre-transform: center crop 0.9 + resize 64 (like the jax side)
-        ch = int(np.ceil(IMAGE * 0.9))
+        ch = int(np.ceil(IMAGE * CROP_RATIO))
         off = (IMAGE - ch) // 2
         xc = x[:, :, off : off + ch, off : off + ch]
-        xc = F.interpolate(xc, size=(64, 64), mode="bilinear", align_corners=False)
+        xc = F.interpolate(xc, size=(RESIZE, RESIZE), mode="bilinear",
+                           align_corners=False)
         acts = energy_net(xc)
         idx = acts.argmax(dim=-1)
         theta = angles[idx]
@@ -186,12 +248,13 @@ def bench_torch_cpu() -> float:
 
 
 def main() -> None:
-    jax_ips = bench_jax()
+    m = bench_jax()
     try:
         torch_ips = bench_torch_cpu()
     except Exception as e:  # torch missing or OOM: report absolute only
         print(f"torch baseline failed: {e}", file=sys.stderr)
         torch_ips = float("nan")
+    jax_ips = m["tput_fast_img_s"]
     vs = jax_ips / torch_ips if torch_ips == torch_ips else None
     print(
         json.dumps(
@@ -200,6 +263,16 @@ def main() -> None:
                 "value": round(jax_ips, 2),
                 "unit": "images/s",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
+                "batch": BATCH_TPU,
+                "throughput_exact_mode": round(m["tput_exact_img_s"], 2),
+                "wrapper_overhead_pct": round(m["overhead_bf16_fast_pct"], 2),
+                "wrapper_overhead_pct_fp32_exact": round(
+                    m["overhead_fp32_exact_pct"], 2
+                ),
+                "bare_resnet50_bf16_ms": round(m["bare_bf16_ms"], 2),
+                "wrapped_bf16_fast_ms": round(m["wrapped_bf16_fast_ms"], 2),
+                "bare_resnet50_fp32_ms": round(m["bare_fp32_ms"], 2),
+                "wrapped_fp32_exact_ms": round(m["wrapped_fp32_exact_ms"], 2),
             }
         )
     )

@@ -73,6 +73,13 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
     input_crop_ratio: float = 1.0
     resize_shape: Optional[int] = None
     gradient_trick: str = "straight_through"
+    # "exact": static-tap 4-tap warps, bit-parity with the torch reference.
+    # "fast": two-pass MXU residual warps (ops/warp.rotate_twopass) — the
+    # production eval mode; 90-degree elements stay bit-exact.
+    warp_mode: str = "exact"
+    # computation dtype for the energy network + warps (e.g. jnp.bfloat16);
+    # None keeps the input dtype. Selection logits are always fp32.
+    compute_dtype: Optional[Any] = None
 
     # subclasses set these in __post_init__
     group_type: str = "rotation"
@@ -154,20 +161,28 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
                 "masks" (B, N, H, W) to co-canonicalize (batched; the
                 reference loops per sample).
         """
+        in_dtype = x.dtype
+        x_energy = (
+            x.astype(self.compute_dtype) if self.compute_dtype is not None else x
+        )
         with jax.named_scope("canon/get_group_activations"):
-            acts, extras = self.get_group_activations(x, training)
+            acts, extras = self.get_group_activations(x_energy, training)
+            acts = acts.astype(jnp.float32)  # selection logits stay fp32
         with jax.named_scope("canon/select_element"):
             element, onehot = self.groupactivations_to_groupelement(acts, training)
 
         with jax.named_scope("canon/warp"):
+            if self.compute_dtype is not None:
+                x = x.astype(self.compute_dtype)
             if element.reflection is not None:
-                r = element.reflection[:, None, None, None]
+                r = element.reflection[:, None, None, None].astype(x.dtype)
                 x = (1.0 - r) * x + r * hflip(x)
             # rotation one-hot (collapses the reflection coset for D_n);
             # static-tap warp blend — identical numerics to
             # rotate(x, -theta), ~50x faster (see ops/warp.rotate_discrete).
             # In eval the one-hot is hard and carries no gradient, so the
-            # single-pass pallas select kernel applies (bit-identical).
+            # single-pass select path applies (pallas kernel in exact mode,
+            # two-pass MXU blend in fast mode).
             n = self.num_rotations
             rot_onehot = (
                 onehot[:, :n] + onehot[:, n:] if self.group_type == "roto-reflection"
@@ -175,13 +190,15 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
             )
             if training:
                 x = rotate_discrete(
-                    x, rot_onehot, n, sign=-1.0, padding_mode=self.padding_mode
+                    x, rot_onehot.astype(x.dtype), n, sign=-1.0,
+                    padding_mode=self.padding_mode, mode=self.warp_mode,
                 )
             else:
                 from equiadapt_tpu.ops.pallas.select_warp import rotate_select
 
                 idx = jnp.argmax(rot_onehot, axis=-1)
-                x = rotate_select(x, idx, n, -1.0, self.padding_mode)
+                x = rotate_select(x, idx, n, -1.0, self.padding_mode, self.warp_mode)
+            x = x.astype(in_dtype)
 
         info = DiscreteCanonicalizationInfo(
             group_activations=acts,
@@ -212,16 +229,29 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
         info: DiscreteCanonicalizationInfo,
         x_canonicalized_out: Array,
         induced_rep_type: str = "regular",
+        training: bool = False,
         **kwargs: Any,
     ) -> Array:
         """Apply the stored group element to canonical-frame outputs
-        (reference discrete_group.py:240-259)."""
-        with jax.named_scope("canon/invert"):
-            return self._invert(info, x_canonicalized_out, induced_rep_type)
+        (reference discrete_group.py:240-259).
 
-    def _invert(self, info, x_canonicalized_out, induced_rep_type):
-        # the rotation one-hot is re-derived (hard) from the stored angle,
-        # matching the reference's non-differentiable invert shift
+        With training=True the spatial rotation uses the differentiable
+        (straight-through) one-hot from the info pytree, so losses computed
+        on inverted outputs backprop to the canonicalization network; the
+        fiber roll stays hard, like the reference's `.long()` shift
+        (images/utils.py:28). Eval keeps the single-pass hard select.
+        """
+        with jax.named_scope("canon/invert"):
+            return self._invert(info, x_canonicalized_out, induced_rep_type, training)
+
+    def _invert(self, info, x_canonicalized_out, induced_rep_type, training=False):
+        rotation_onehot = None
+        if training:
+            oh = info.onehot
+            n = info.num_rotations
+            # collapse the reflection coset onto the rotation one-hot
+            rotation_onehot = oh[:, :n] + oh[:, n:] if oh.shape[-1] == 2 * n else oh
+            rotation_onehot = rotation_onehot.astype(x_canonicalized_out.dtype)
         return get_action_on_image_features(
             x_canonicalized_out,
             num_rotations=info.num_rotations,
@@ -229,6 +259,8 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
             rotation_deg=info.element.rotation_deg,
             reflection=info.element.reflection,
             induced_rep_type=induced_rep_type,
+            rotation_onehot=rotation_onehot,
+            mode=self.warp_mode,
         )
 
 

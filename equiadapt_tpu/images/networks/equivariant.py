@@ -77,6 +77,7 @@ class FiberBatchNorm(nn.Module):
             use_running_average=not training,
             momentum=self.momentum,
             epsilon=self.epsilon,
+            dtype=x.dtype,  # follow the input (params stay fp32)
         )(xr)
         xr = jnp.swapaxes(xr, -1, -2)
         return xr.reshape(B, H, W, CG)

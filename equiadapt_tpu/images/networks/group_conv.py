@@ -26,7 +26,7 @@ Group math (dihedral D_n, elements {r_k} ∪ {m r_k}):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -98,6 +98,7 @@ class RotationEquivariantConvLift(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    dtype: Optional[Any] = None  # computation dtype; None follows the input's
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -107,10 +108,12 @@ class RotationEquivariantConvLift(nn.Module):
         bank = _rotate_bank(w.reshape(K, K, Ci * Co), angles)  # (G,K,K,Ci*Co)
         # -> HWIO with out channel index c*G + g
         bank = bank.reshape(G, K, K, Ci, Co).transpose(1, 2, 3, 4, 0).reshape(K, K, Ci, Co * G)
+        dt = self.dtype or x.dtype
+        x, bank = x.astype(dt), bank.astype(dt)
         y = _conv2d(x, bank, self.stride, self.padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (Co,))
-            y = y + jnp.repeat(b, G)[None, None, None, :]
+            y = y + jnp.repeat(b.astype(y.dtype), G)[None, None, None, :]
         return y
 
 
@@ -129,6 +132,7 @@ class RotoReflectionEquivariantConvLift(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    dtype: Optional[Any] = None  # computation dtype; None follows the input's
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -140,10 +144,12 @@ class RotoReflectionEquivariantConvLift(nn.Module):
         ref = rot[:, :, ::-1, :]  # hflip on the width axis
         bank = jnp.concatenate([rot, ref], axis=0)  # (G,K,K,Ci*Co)
         bank = bank.reshape(G, K, K, Ci, Co).transpose(1, 2, 3, 4, 0).reshape(K, K, Ci, Co * G)
+        dt = self.dtype or x.dtype
+        x, bank = x.astype(dt), bank.astype(dt)
         y = _conv2d(x, bank, self.stride, self.padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (Co,))
-            y = y + jnp.repeat(b, G)[None, None, None, :]
+            y = y + jnp.repeat(b.astype(y.dtype), G)[None, None, None, :]
         return y
 
 
@@ -177,6 +183,7 @@ class RotationEquivariantConv(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    dtype: Optional[Any] = None  # computation dtype; None follows the input's
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -190,10 +197,12 @@ class RotationEquivariantConv(nn.Module):
         # (n_out,K,K,Ci,n_in,Co) -> HWIO (K,K,Ci*n_in, Co*n_out)
         bank = bank.reshape(n, K, K, Ci, n, Co).transpose(1, 2, 3, 4, 5, 0)
         bank = bank.reshape(K, K, Ci * n, Co * n)
+        dt = self.dtype or x.dtype
+        x, bank = x.astype(dt), bank.astype(dt)
         y = _conv2d(x, bank, self.stride, self.padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (Co,))
-            y = y + jnp.repeat(b, n)[None, None, None, :]
+            y = y + jnp.repeat(b.astype(y.dtype), n)[None, None, None, :]
         return y
 
 
@@ -211,6 +220,7 @@ class RotoReflectionEquivariantConv(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    dtype: Optional[Any] = None  # computation dtype; None follows the input's
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -226,8 +236,10 @@ class RotoReflectionEquivariantConv(nn.Module):
         bank = jnp.concatenate([bank[:n], bank[n:, :, ::-1, :]], axis=0)
         bank = bank.reshape(G, K, K, Ci, G, Co).transpose(1, 2, 3, 4, 5, 0)
         bank = bank.reshape(K, K, Ci * G, Co * G)
+        dt = self.dtype or x.dtype
+        x, bank = x.astype(dt), bank.astype(dt)
         y = _conv2d(x, bank, self.stride, self.padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (Co,))
-            y = y + jnp.repeat(b, G)[None, None, None, :]
+            y = y + jnp.repeat(b.astype(y.dtype), G)[None, None, None, :]
         return y

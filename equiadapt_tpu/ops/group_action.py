@@ -71,6 +71,7 @@ def get_action_on_image_features(
     reflection: Optional[Array] = None,
     induced_rep_type: str = "regular",
     rotation_onehot: Optional[Array] = None,
+    mode: str = "exact",
 ) -> Array:
     """Apply the stored group element to a canonical-frame output feature map.
 
@@ -101,9 +102,10 @@ def get_action_on_image_features(
         # keep the blend path so gradients reach the selection.
         if rotation_onehot is not None:
             return rotate_discrete(
-                y, rotation_onehot, num_rotations, sign=1.0, padding_mode="zeros"
+                y, rotation_onehot, num_rotations, sign=1.0, padding_mode="zeros",
+                mode=mode,
             )
-        return rotate_select(y, idx, num_rotations, 1.0, "zeros")
+        return rotate_select(y, idx, num_rotations, 1.0, "zeros", mode)
 
     if induced_rep_type == "regular":
         if C % num_group != 0:

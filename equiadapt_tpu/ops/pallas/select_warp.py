@@ -152,7 +152,11 @@ def _blend_ref(x: Array, idx: Array, num_rotations: int, sign: float, padding_mo
     return rotate_discrete(x, onehot, num_rotations, sign, padding_mode)
 
 
-def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode):
+def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode, mode):
+    if mode == "fast":
+        from equiadapt_tpu.ops.warp import rotate_select_fast
+
+        return rotate_select_fast(x, idx, num_rotations, sign, padding_mode)
     if (
         jax.default_backend() == "tpu"
         and x.shape[1] == x.shape[2]
@@ -162,35 +166,47 @@ def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode):
     return _blend_ref(x, idx, num_rotations, sign, padding_mode)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def rotate_select(
     x: Array,
     idx: Array,
     num_rotations: int,
     sign: float = -1.0,
     padding_mode: str = "border",
+    mode: str = "exact",
 ) -> Array:
-    """Backend-dispatching single-pass select: pallas on TPU, blend elsewhere.
+    """Backend-dispatching single-pass select.
+
+    mode="exact": pallas NCHW kernel on TPU, static-tap blend elsewhere —
+    bit-identical to `rotate_discrete` with a hard one-hot.
+    mode="fast": two-pass MXU residual + rot90 one-hot blend
+    (ops/warp.rotate_select_fast) on every backend — 90-degree elements stay
+    bit-exact, odd C8 elements carry the documented two-pass interpolation
+    residual.
 
     Differentiable in `x` via a custom VJP: the op is linear in x, so the
-    backward pass is the linear transpose of the (numerically identical)
-    blend formulation — gathers transpose to scatters, rot90s to their
-    inverses. No gradient flows to `idx` (matches the reference's hard
+    backward pass is the linear transpose of the matching forward
+    formulation. No gradient flows to `idx` (matches the reference's hard
     selection in invert, images/utils.py:28).
     """
-    return _rotate_select_impl(x, idx, num_rotations, sign, padding_mode)
+    return _rotate_select_impl(x, idx, num_rotations, sign, padding_mode, mode)
 
 
-def _rs_fwd(x, idx, num_rotations, sign, padding_mode):
-    out = _rotate_select_impl(x, idx, num_rotations, sign, padding_mode)
+def _rs_fwd(x, idx, num_rotations, sign, padding_mode, mode):
+    out = _rotate_select_impl(x, idx, num_rotations, sign, padding_mode, mode)
     # zero-size token carries x's shape/dtype into bwd without retaining x
     token = jnp.zeros((0,) + x.shape, x.dtype)
     return out, (idx, token)
 
 
-def _rs_bwd(num_rotations, sign, padding_mode, res, g):
+def _rs_bwd(num_rotations, sign, padding_mode, mode, res, g):
     idx, token = res
-    f = lambda xx: _blend_ref(xx, idx, num_rotations, sign, padding_mode)
+    if mode == "fast":
+        from equiadapt_tpu.ops.warp import rotate_select_fast
+
+        f = lambda xx: rotate_select_fast(xx, idx, num_rotations, sign, padding_mode)
+    else:
+        f = lambda xx: _blend_ref(xx, idx, num_rotations, sign, padding_mode)
     spec = jax.ShapeDtypeStruct(token.shape[1:], token.dtype)
     (dx,) = jax.linear_transpose(f, spec)(g)
     d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)

@@ -45,6 +45,8 @@ __all__ = [
     "hflip",
     "rotate",
     "rotate_discrete",
+    "rotate_twopass",
+    "rotate_select_fast",
     "warp_affine",
     "affine_grid_sample",
     "bilinear_sample",
@@ -230,12 +232,152 @@ def _static_rotate(x: Array, angle_deg: float, padding_mode: str) -> Array:
     return out.reshape(B, H, W, C)
 
 
+def _twopass_matrices(H: int, W: int, angle_deg: float, padding_mode: str, dtype):
+    """Two-pass (row, then column) rotation resampling matrices, built
+    on-device from iota (never baked as HLO constants — see
+    docs/benchmarking.md on closed-over arrays).
+
+    Pass A interpolates each input *column* w vertically at
+    p(y, w) = (b*(w-cx) + (y-cy)) / a + cy; pass B interpolates each output
+    row horizontally at q(y, x) = a*(x-cx) - b*(y-cy) + cx, with
+    a = cos(angle), b = sin(angle). The composition samples the rotation
+    exactly on the two-pass (Catmull-Smith) lattice. Requires |a| bounded
+    away from 0 — callers reduce angles to [-45, 45] residuals first.
+
+    Returns:
+        M1 (H, H, W): contribution of in[h, w] to V[y, w].
+        M2 (H, W, W): contribution of V[y, w] to out[y, x].
+    """
+    rad = math.radians(angle_deg)
+    a, b = math.cos(rad), math.sin(rad)
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    yv = jnp.arange(H, dtype=jnp.float32)
+    wv = jnp.arange(W, dtype=jnp.float32)
+    xv = jnp.arange(W, dtype=jnp.float32)
+
+    def taps(pos, size):
+        lo = jnp.floor(pos)
+        f = pos - lo
+        if padding_mode == "border":
+            w0, w1 = 1.0 - f, f
+        else:  # zeros
+            v0 = (lo >= 0) & (lo <= size - 1)
+            v1 = (lo + 1 >= 0) & (lo + 1 <= size - 1)
+            w0 = (1.0 - f) * v0.astype(jnp.float32)
+            w1 = f * v1.astype(jnp.float32)
+        i0 = jnp.clip(lo, 0, size - 1).astype(jnp.int32)
+        i1 = jnp.clip(lo + 1, 0, size - 1).astype(jnp.int32)
+        return i0, i1, w0, w1
+
+    p = (b * (wv[None, :] - cx) + (yv[:, None] - cy)) / a + cy  # (y, w)
+    h0, h1, u0, u1 = taps(p, H)
+    hh = jnp.arange(H, dtype=jnp.int32)
+    M1 = ((hh[None, :, None] == h0[:, None, :]) * u0[:, None, :]
+          + (hh[None, :, None] == h1[:, None, :]) * u1[:, None, :]).astype(dtype)
+
+    q = a * (xv[None, :] - cx) - b * (yv[:, None] - cy) + cx  # (y, x)
+    w0i, w1i, g0, g1 = taps(q, W)
+    ww = jnp.arange(W, dtype=jnp.int32)
+    M2 = ((ww[None, :, None] == w0i[:, None, :]) * g0[:, None, :]
+          + (ww[None, :, None] == w1i[:, None, :]) * g1[:, None, :]).astype(dtype)
+    return M1, M2
+
+
+def rotate_twopass(x: Array, angle_deg: float, padding_mode: str = "border") -> Array:
+    """Whole-batch rotation by a *static* angle as two batched MXU GEMMs.
+
+    The fast-mode counterpart of `_static_rotate`: instead of 4-tap gathers
+    (which run far below HBM bandwidth on TPU), the resampling is expressed
+    as one vertical and one horizontal 1-D interpolation, each a batched
+    matmul over the row/column axis — MXU work at full tilt. Exact for
+    90-degree multiples (pure rot90); for other angles the two-pass lattice
+    differs from direct 4-tap bilinear by a small interpolation residual
+    (high-frequency content only; see tests/test_fast_warp.py for bounds).
+
+    Angles are reduced to a [-45, 45] residual composed with rot90s, so the
+    pass conditioning (1/cos) never exceeds sqrt(2).
+    """
+    B, H, W, C = x.shape
+    ang = float(angle_deg) % 360.0
+    k = int(round(ang / 90.0))
+    r = ang - 90.0 * k  # [-45, 45]
+    k %= 4
+    if abs(r) < 1e-9:
+        return jnp.rot90(x, k=k, axes=(1, 2)) if k else x
+    if H != W:
+        raise ValueError("rotate_twopass requires square images")
+    dt = x.dtype
+    M1, M2 = _twopass_matrices(H, W, r, padding_mode, dt)
+    V = jnp.einsum("yhw,bhwc->bywc", M1, x, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "ywx,bywc->byxc", M2, V.astype(dt), preferred_element_type=jnp.float32
+    ).astype(dt)
+    return jnp.rot90(out, k=k, axes=(1, 2)) if k else out
+
+
+def _residual_rotate(x: Array, angle_deg: float, padding_mode: str, mode: str) -> Array:
+    """Static-angle whole-batch rotate: exact 4-tap or fast two-pass."""
+    if mode == "fast":
+        return rotate_twopass(x, angle_deg, padding_mode)
+    return _static_rotate(x, angle_deg, padding_mode)
+
+
+def rotate_select_fast(
+    x: Array,
+    idx: Array,
+    num_rotations: int,
+    sign: float = -1.0,
+    padding_mode: str = "border",
+) -> Array:
+    """Hard per-sample discrete-rotation select, fast mode (pure XLA).
+
+    out[b] = rotate(x[b], sign * theta_{idx[b]}) with each distinct mod-90
+    residual materialized once via `rotate_twopass` and the 90-degree part
+    applied as an exact rot90 one-hot blend (layout permutations — rot90
+    candidates are bit-exact, so elements at 90-degree multiples match the
+    exact path bit-for-bit). No gathers, no NCHW transposes: profiled faster
+    than the pallas NCHW select kernel on the target runtime
+    (docs/benchmarking.md round-2 notes).
+    """
+    if x.shape[1] != x.shape[2]:
+        onehot = jax.nn.one_hot(idx, num_rotations, dtype=x.dtype)
+        return rotate_discrete(x, onehot, num_rotations, sign, padding_mode)
+    angles = np.linspace(0.0, 360.0, num_rotations + 1)[:num_rotations]
+    # residual/quarter-turn decomposition per group element
+    residuals, res_of_g, k_of_g = [], [], []
+    for g in range(num_rotations):
+        ang = (sign * float(angles[g])) % 360.0
+        r = ang % 90.0
+        k = int(round((ang - r) / 90.0)) % 4
+        if r not in residuals:
+            residuals.append(r)
+        res_of_g.append(residuals.index(r))
+        k_of_g.append(k)
+    cands = [
+        x if r == 0.0 else rotate_twopass(x, r, padding_mode) for r in residuals
+    ]
+    if len(cands) == 1:
+        z = cands[0]
+    else:
+        res_idx = jnp.asarray(res_of_g, jnp.int32)[idx]
+        oh_r = jax.nn.one_hot(res_idx, len(cands), dtype=x.dtype)
+        z = sum(c * oh_r[:, i][:, None, None, None] for i, c in enumerate(cands))
+    k_idx = jnp.asarray(k_of_g, jnp.int32)[idx]
+    oh_k = jax.nn.one_hot(k_idx, 4, dtype=x.dtype)
+    out = None
+    for k in range(4):
+        cand = jnp.rot90(z, k=k, axes=(1, 2)) * oh_k[:, k][:, None, None, None]
+        out = cand if out is None else out + cand
+    return out
+
+
 def rotate_discrete(
     x: Array,
     onehot: Array,
     num_rotations: int,
     sign: float = -1.0,
     padding_mode: str = "zeros",
+    mode: str = "exact",
 ) -> Array:
     """Per-sample rotation over a *discrete* angle set, as a one-hot blend
     of static warps:  out[b] = sum_g onehot[b, g] * rotate(x[b], sign * theta_g).
@@ -259,6 +401,8 @@ def rotate_discrete(
         onehot: (B, num_rotations) selection (may carry straight-through
             gradients); columns correspond to group_angles(num_rotations).
         sign: -1 for canonicalize (undo the pose), +1 for invert.
+        mode: "exact" (4-tap static gathers, torch-parity numerics) or
+            "fast" (two-pass MXU residual warps, rotate_twopass).
     """
     angles = np.linspace(0.0, 360.0, num_rotations + 1)[:num_rotations]
     square = x.shape[1] == x.shape[2]
@@ -272,7 +416,9 @@ def rotate_discrete(
             k = int(round((ang - residual) / 90.0)) % 4
             if residual not in warped_cache:
                 warped_cache[residual] = (
-                    x if residual == 0.0 else _static_rotate(x, residual, padding_mode)
+                    x
+                    if residual == 0.0
+                    else _residual_rotate(x, residual, padding_mode, mode)
                 )
             cand = jnp.rot90(warped_cache[residual], k=k, axes=(1, 2))
         else:

@@ -60,6 +60,10 @@ class CanonicalizationConfig:
     gradient_trick: str = "straight_through"
     learn_ref_vec: bool = False
     artifact_err_wt: float = 0.0
+    # "exact" = torch-parity 4-tap warps; "fast" = two-pass MXU warps
+    warp_mode: str = "exact"
+    # computation dtype name for energy net + warps ("bfloat16"); None = input
+    compute_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from equiadapt_tpu.common.base import IdentityCanonicalization
 from equiadapt_tpu.images.canonicalization.continuous_group import (
@@ -121,23 +122,26 @@ def get_image_canonicalizer(
     t = cfg.canonicalization_type
     if t == "identity":
         return IdentityCanonicalization()
+    compute_dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
     common = dict(
         canonicalization_network=network,
         in_shape=in_shape,
         input_crop_ratio=cfg.input_crop_ratio,
         resize_shape=cfg.resize_shape,
     )
+    discrete = dict(warp_mode=cfg.warp_mode, compute_dtype=compute_dtype)
     if t == "group_equivariant":
         return GroupEquivariantImageCanonicalization(
             beta=cfg.beta, gradient_trick=cfg.gradient_trick,
-            group_type=h.group_type, num_rotations=h.num_rotations, **common,
+            group_type=h.group_type, num_rotations=h.num_rotations,
+            **discrete, **common,
         )
     if t == "opt_group_equivariant":
         return OptimizedGroupEquivariantImageCanonicalization(
             beta=cfg.beta, gradient_trick=cfg.gradient_trick,
             group_type=h.group_type, num_rotations=h.num_rotations,
             out_vector_size=h.out_vector_size, learn_ref_vec=cfg.learn_ref_vec,
-            artifact_err_wt=cfg.artifact_err_wt, **common,
+            artifact_err_wt=cfg.artifact_err_wt, **discrete, **common,
         )
     if t == "steerable":
         return SteerableImageCanonicalization(group_type=h.group_type, **common)
