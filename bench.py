@@ -145,7 +145,40 @@ def bench_jax() -> dict:
         )
 
     res_params_bf16 = cast_params(res_params)
+
+    # continuous (steerable) canonicalize: fast 3-shear kernel vs exact
+    # dynamic-gather warp (verdict item: within ~2x of the discrete path)
+    from equiadapt_tpu.images.canonicalization.continuous_group import (
+        SteerableImageCanonicalization,
+    )
+    from equiadapt_tpu.images.networks.steerable import SteerableNetwork
+
+    st_net = SteerableNetwork(in_channels=3, out_channels=4, kernel_size=5,
+                              num_layers=1)
+
+    def make_steer(mode, dtype):
+        return SteerableImageCanonicalization(
+            canonicalization_network=st_net, in_shape=(IMAGE, IMAGE, 3),
+            input_crop_ratio=CROP_RATIO, resize_shape=RESIZE,
+            warp_mode=mode, compute_dtype=dtype,
+        )
+
+    steer_fast = make_steer("fast", jnp.bfloat16)
+    steer_exact = make_steer("exact", None)
+    steer_params = jax.jit(lambda k, s: steer_exact.init(k, s, training=False))(
+        jax.random.key(2), small
+    )
+
+    def steer_canon(canon):
+        def step(cp, xx, i):
+            x_c, _ = canon.apply(cp, xx + i * 1e-9, training=False)
+            return jnp.sum(x_c.astype(jnp.float32))
+
+        return step
+
     out = {}
+    out["continuous_fast_ms"] = timed_ms(steer_canon(steer_fast), steer_params, x)
+    out["continuous_exact_ms"] = timed_ms(steer_canon(steer_exact), steer_params, x)
     out["tput_fast_ms"] = timed_ms(
         canon_invert(canon_fast, "fast", jnp.bfloat16), canon_params, x, y
     )
@@ -273,6 +306,10 @@ def main() -> None:
                 "wrapped_bf16_fast_ms": round(m["wrapped_bf16_fast_ms"], 2),
                 "bare_resnet50_fp32_ms": round(m["bare_fp32_ms"], 2),
                 "wrapped_fp32_exact_ms": round(m["wrapped_fp32_exact_ms"], 2),
+                "continuous_canonicalize_fast_ms": round(m["continuous_fast_ms"], 2),
+                "continuous_canonicalize_exact_ms": round(
+                    m["continuous_exact_ms"], 2
+                ),
             }
         )
     )

@@ -91,6 +91,13 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
     input_crop_ratio: float = 1.0
     resize_shape: Optional[int] = None
     group_type: str = "rotation"
+    # "exact": dynamic-gather bilinear warp (differentiable in the rotation,
+    # torch-parity). "fast": eval-only 3-shear pallas kernel
+    # (ops/pallas/shear_rotate.py) — ~44x faster on the target TPU; training
+    # always uses the exact warp so gradients reach the rotation matrix.
+    warp_mode: str = "exact"
+    # computation dtype for the energy network + warps; None = input dtype
+    compute_dtype: Optional[Any] = None
 
     @property
     def is_grayscale(self) -> bool:
@@ -153,12 +160,26 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
         **kwargs: Any,
     ):
         """Reference continuous_group.py:162-210."""
-        element, matrix_rep, extras = self.get_groupelement(x, training)
+        in_dtype = x.dtype
+        x_energy = (
+            x.astype(self.compute_dtype) if self.compute_dtype is not None else x
+        )
+        element, matrix_rep, extras = self.get_groupelement(x_energy, training)
         R_inv = _transpose_trick(element.rotation)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         if element.reflection is not None:
-            r = element.reflection[:, None, None, None]
+            r = element.reflection[:, None, None, None].astype(x.dtype)
             x = (1.0 - r) * x + r * hflip(x)
-        x = _warp_center_affine(x, R_inv, self.padding_mode)
+        if self.warp_mode == "fast" and not training:
+            from equiadapt_tpu.ops.pallas.shear_rotate import (
+                warp_rotate_center_fast,
+            )
+
+            x = warp_rotate_center_fast(x, R_inv, self.padding_mode)
+        else:
+            x = _warp_center_affine(x, R_inv, self.padding_mode)
+        x = x.astype(in_dtype)
         info = ContinuousCanonicalizationInfo(
             matrix_rep=matrix_rep, element=element, extras=extras
         )
@@ -171,6 +192,7 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
         info: ContinuousCanonicalizationInfo,
         x_canonicalized_out: Array,
         induced_rep_type: str = "vector",
+        training: bool = False,
         **kwargs: Any,
     ) -> Array:
         if induced_rep_type == "vector":
@@ -180,9 +202,18 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
         if induced_rep_type == "scalar":
             # forward group element: warp by R (then reflect), inverse of
             # canonicalize's (reflect then warp by R^{-1})
-            y = _warp_center_affine(
-                x_canonicalized_out, info.element.rotation, "zeros"
-            )
+            if self.warp_mode == "fast" and not training:
+                from equiadapt_tpu.ops.pallas.shear_rotate import (
+                    warp_rotate_center_fast,
+                )
+
+                y = warp_rotate_center_fast(
+                    x_canonicalized_out, info.element.rotation, "zeros"
+                )
+            else:
+                y = _warp_center_affine(
+                    x_canonicalized_out, info.element.rotation, "zeros"
+                )
             if info.element.reflection is not None:
                 r = info.element.reflection[:, None, None, None]
                 y = (1.0 - r) * y + r * hflip(y)

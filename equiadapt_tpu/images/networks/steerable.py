@@ -150,7 +150,7 @@ class SteerableConv(nn.Module):
 
         return lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(x.dtype),  # follow the input dtype (params fp32)
             window_strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -144,10 +144,13 @@ def get_image_canonicalizer(
             artifact_err_wt=cfg.artifact_err_wt, **discrete, **common,
         )
     if t == "steerable":
-        return SteerableImageCanonicalization(group_type=h.group_type, **common)
+        return SteerableImageCanonicalization(
+            group_type=h.group_type, **discrete, **common
+        )
     if t == "opt_steerable":
         return OptimizedSteerableImageCanonicalization(
-            group_type=h.group_type, artifact_err_wt=cfg.artifact_err_wt, **common
+            group_type=h.group_type, artifact_err_wt=cfg.artifact_err_wt,
+            **discrete, **common,
         )
     raise ValueError(f"{t} needs a canonicalization network implementation")
 
