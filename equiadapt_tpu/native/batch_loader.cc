@@ -126,6 +126,12 @@ class Loader {
   void worker_loop() {
     for (;;) {
       int64_t my_batch;
+      // This batch's record indices, snapshotted from order_ inside the
+      // claim critical section: reshuffle() rewrites order_ when a worker
+      // claims the first batch of the next epoch, so the (unlocked) copy
+      // loop below must never read shared mutable state, and the snapshot
+      // must happen before any later claim can trigger that reshuffle.
+      std::vector<int64_t> recs(static_cast<size_t>(batch_size_));
       {
         std::unique_lock<std::mutex> lk(mu_);
         cv_space_.wait(lk, [&] {
@@ -139,16 +145,17 @@ class Loader {
         int64_t per_epoch = num_records_ / batch_size_;
         if (per_epoch > 0 && my_batch % per_epoch == 0)
           reshuffle(static_cast<uint64_t>(my_batch / per_epoch));
+        int64_t in_epoch = per_epoch > 0 ? my_batch % per_epoch : 0;
+        for (int64_t k = 0; k < batch_size_; ++k)
+          recs[static_cast<size_t>(k)] =
+              order_[(in_epoch * batch_size_ + k) % num_records_];
       }
       Batch b;
       b.index = my_batch;
       b.data.resize(static_cast<size_t>(batch_size_) * record_bytes_);
-      int64_t per_epoch = num_records_ / batch_size_;
-      int64_t in_epoch = per_epoch > 0 ? my_batch % per_epoch : 0;
       for (int64_t k = 0; k < batch_size_; ++k) {
-        int64_t rec = order_[(in_epoch * batch_size_ + k) % num_records_];
         std::memcpy(b.data.data() + k * record_bytes_,
-                    base_ + rec * record_bytes_,
+                    base_ + recs[static_cast<size_t>(k)] * record_bytes_,
                     static_cast<size_t>(record_bytes_));
       }
       {

@@ -141,9 +141,13 @@ class NativeBatchLoader:
         rec = raw.reshape(self.batch_size, self.spec["record_bytes"])
         off = 0
         for name, dt, shp, nbytes in self.spec["fields"]:
-            field = rec[:, off : off + nbytes]
-            out[name] = (
-                np.ascontiguousarray(field).view(np.dtype(dt)).reshape((self.batch_size,) + tuple(shp))
+            # copy=True: a single-field record slice is already contiguous,
+            # so ascontiguousarray would alias the shared reuse buffer
+            # self._buf and the array would be overwritten by the next
+            # next() call
+            field = np.array(rec[:, off : off + nbytes], copy=True)
+            out[name] = field.view(np.dtype(dt)).reshape(
+                (self.batch_size,) + tuple(shp)
             )
             off += nbytes
         return out

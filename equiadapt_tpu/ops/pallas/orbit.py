@@ -122,12 +122,15 @@ def _orbit_pallas(x: Array, ks: Tuple[int, ...], flips: Tuple[bool, ...]) -> Arr
     return jnp.moveaxis(out, 2, -1)  # (G, B, H, W, C)
 
 
-@functools.partial(jax.jit, static_argnames=("num_rotations", "reflections", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("num_rotations", "reflections", "use_pallas", "sign")
+)
 def rot90_flip_orbit(
     x: Array,
     num_rotations: int = 4,
     reflections: bool = False,
     use_pallas: bool = False,
+    sign: float = -1.0,
 ) -> Array:
     """Exact orbit for C4/D4 (num_rotations must divide into 90s).
 
@@ -144,8 +147,10 @@ def rot90_flip_orbit(
     assert 4 % num_rotations == 0 or num_rotations == 4, "exact path needs 90-degree multiples"
     step = 4 // num_rotations
     # kornia rotate(x, +90k) == rot90(x, k); the canonicalizer applies
-    # rotate(x, -theta_g), i.e. rot90 by -k
-    ks = tuple((-step * i) % 4 for i in range(num_rotations))
+    # rotate(x, -theta_g) (sign=-1); GroupInference applies rotate(x, +theta_g)
+    # per element (sign=+1, reference inference_utils.py:100-122)
+    s = 1 if sign > 0 else -1
+    ks = tuple((s * step * i) % 4 for i in range(num_rotations))
     flips = tuple(False for _ in range(num_rotations))
     if reflections:
         ks = ks + ks
@@ -161,6 +166,7 @@ def materialize_orbit(
     group_type: str = "rotation",
     padding_mode: str = "border",
     use_pallas: bool = False,
+    sign: float = -1.0,
 ) -> Array:
     """Full |G|-orbit: exact permutations when all angles are 90-degree
     multiples, shared bilinear warp otherwise.
@@ -172,7 +178,8 @@ def materialize_orbit(
     refl = group_type == "roto-reflection"
     if num_rotations in (1, 2, 4) and x.shape[1] == x.shape[2]:
         orbit = rot90_flip_orbit(
-            x, num_rotations=num_rotations, reflections=refl, use_pallas=use_pallas
+            x, num_rotations=num_rotations, reflections=refl,
+            use_pallas=use_pallas, sign=sign,
         )
         return orbit.reshape((-1,) + x.shape[1:])
     from equiadapt_tpu.ops.warp import _static_rotate, hflip
@@ -181,7 +188,8 @@ def materialize_orbit(
     # so every element avoids the slow dynamic-gather path
     degrees = np.linspace(0.0, 360.0, num_rotations + 1)[:num_rotations]
     rot = jnp.concatenate(
-        [_static_rotate(x, -float(d), padding_mode) for d in degrees], axis=0
+        [_static_rotate(x, float(sign) * float(d), padding_mode) for d in degrees],
+        axis=0,
     )
     if refl:
         rot = jnp.concatenate([rot, hflip(rot)], axis=0)

@@ -122,6 +122,10 @@ def classification_loss(
     acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
     metrics["metric/acc"] = acc
     metrics["loss/total"] = loss
+    # NaN guard, the reference's `assert not torch.isnan(loss)` (model.py:125):
+    # surfaced as a metric so the (jitted) step stays side-effect free; the
+    # train loops assert on it host-side (utils.metrics.assert_finite_loss)
+    metrics["loss/finite"] = jnp.isfinite(loss).astype(jnp.float32)
     return loss, metrics
 
 
@@ -284,8 +288,11 @@ def group_inference(
     x, labels = batch["image"], batch["label"]
     B = x.shape[0]
     mode = "zeros" if grayscale else "border"
+    # sign=+1: the reference's GroupInference applies rotate(x, +theta_g)
+    # per element (inference_utils.py:100-122), so acc_element_k labels are
+    # directly comparable
     orbit = materialize_orbit(
-        x, num_rotations, group_type=group_type, padding_mode=mode
+        x, num_rotations, group_type=group_type, padding_mode=mode, sign=1.0
     )
     G = orbit.shape[0] // B
     logits, _ = state.apply_fn(

@@ -79,7 +79,10 @@ def make_nbody_train_step(jit: bool = True):
                 training=True, rngs=rngs,
             )
             loss = jnp.mean((pred - batch["loc_end"]) ** 2)
-            return loss, {"loss/task": loss}
+            return loss, {
+                "loss/task": loss,
+                "loss/finite": jnp.isfinite(loss).astype(jnp.float32),
+            }
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)

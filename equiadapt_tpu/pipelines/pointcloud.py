@@ -186,6 +186,7 @@ def make_pointcloud_train_step(
                 metrics["loss/prior"] = prior
             metrics.update(classification_metrics(logits, labels, num_classes))
             metrics["loss/total"] = loss
+            metrics["loss/finite"] = jnp.isfinite(loss).astype(jnp.float32)
             return loss, (metrics, new_state.get("batch_stats", state.batch_stats))
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

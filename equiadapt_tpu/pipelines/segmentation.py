@@ -138,6 +138,7 @@ def make_segmentation_train_step(prior_weight: float = 100.0, jit: bool = True):
                 loss = loss + prior_weight * prior
                 metrics["loss/prior"] = prior
             metrics["loss/total"] = loss
+            metrics["loss/finite"] = jnp.isfinite(loss).astype(jnp.float32)
             return loss, (metrics, new_state.get("batch_stats", state.batch_stats))
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

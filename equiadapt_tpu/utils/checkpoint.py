@@ -72,14 +72,34 @@ def restore_config(path: str) -> Config:
 
 def load_prediction_params_from(path: str, state: Any, subtree: str = "prediction_network") -> Any:
     """Replace only the prediction-network params from another checkpoint
-    (the reference's finetuned-prediction transfer, train_utils.py:46-58)."""
+    (the reference's finetuned-prediction transfer, train_utils.py:46-58).
+
+    The donor checkpoint is restored WITHOUT a target template, so its
+    canonicalizer/optimizer may differ arbitrarily from the current state —
+    only the prediction subtree must match, which is exactly the transfer
+    scenario this exists for. Shapes are validated leaf-by-leaf.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    target = {"params": state.params, "batch_stats": state.batch_stats,
-              "opt_state": state.opt_state, "step": state.step}
-    restored = ckptr.restore(os.path.join(path, "state"), target)
+    restored = ckptr.restore(os.path.join(path, "state"))  # raw tree
+    donor = restored["params"][subtree]
+    ours = state.params[subtree]
+    donor_shapes = jax.tree_util.tree_map(lambda a: np.shape(a), donor)
+    our_shapes = jax.tree_util.tree_map(lambda a: np.shape(a), ours)
+    if donor_shapes != our_shapes:
+        raise ValueError(
+            f"prediction subtree '{subtree}' shape mismatch between donor "
+            f"checkpoint and current state:\n{donor_shapes}\nvs\n{our_shapes}"
+        )
+    donor = jax.tree_util.tree_map(
+        lambda d, o: jnp.asarray(d, dtype=o.dtype), donor, ours
+    )
     new_params = dict(state.params)
-    new_params[subtree] = restored["params"][subtree]
+    new_params[subtree] = donor
     return state.replace(params=type(state.params)(new_params))
 
 

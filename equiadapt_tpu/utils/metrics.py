@@ -84,3 +84,18 @@ class EarlyStopping:
         else:
             self.bad += 1
         return self.bad >= self.patience
+
+
+def assert_finite_loss(metrics) -> None:
+    """Host-side NaN guard: crash like the reference's
+    `assert not torch.isnan(loss)` (examples/images/classification/
+    model.py:125). The jitted steps surface `loss/finite` as a metric so
+    they stay side-effect free; call this on the fetched metrics.
+    """
+    flag = metrics.get("loss/finite")
+    if flag is None:
+        return
+    import numpy as np
+
+    if not bool(np.all(np.asarray(flag) > 0.5)):
+        raise FloatingPointError(f"Loss is NaN/Inf: {metrics}")

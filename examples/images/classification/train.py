@@ -42,7 +42,11 @@ from equiadapt_tpu.utils.checkpoint import (
     restore_checkpoint,
     restore_config,
 )
-from equiadapt_tpu.utils.metrics import EarlyStopping, MetricLogger
+from equiadapt_tpu.utils.metrics import (
+    EarlyStopping,
+    MetricLogger,
+    assert_finite_loss,
+)
 
 
 def build_pipeline(cfg: Config) -> ImageClassifierPipeline:
@@ -137,6 +141,7 @@ def main(argv) -> None:
     for epoch in range(cfg.experiment.num_epochs):
         for batch in get_batches(cfg, jax.random.fold_in(rng, epoch), steps_per_epoch):
             state, metrics = step(state, shard_batch(batch, mesh), rng)
+            assert_finite_loss(metrics)
             logger.update(metrics)
         val = next(get_batches(cfg, jax.random.fold_in(rng, 10_000 + epoch), 1))
         vm = eval_step(state, val)

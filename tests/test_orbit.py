@@ -64,3 +64,24 @@ def test_pallas_orbit_matches_xla():
     a = rot90_flip_orbit(x, num_rotations=4, use_pallas=True)
     b = rot90_flip_orbit(x, num_rotations=4, use_pallas=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_orbit_sign_convention_matches_group_inference():
+    """sign=+1 orbit element g applies rotate(x, +theta_g) — the reference
+    GroupInference convention (inference_utils.py:100-122), so
+    test/acc_element_k labels are comparable across frameworks. sign=-1
+    (default) keeps the canonicalizer's rotate(x, -theta_g)."""
+    import jax
+    import jax.numpy as jnp
+
+    from equiadapt_tpu.ops.pallas.orbit import materialize_orbit
+    from equiadapt_tpu.ops.warp import rotate
+
+    x = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3))
+    for n in (4, 8):
+        orbit = materialize_orbit(x, n, padding_mode="border", sign=1.0)
+        G = orbit.shape[0] // 2
+        for g in range(n):
+            expect = rotate(x, jnp.full((2,), g * 360.0 / n), padding_mode="border")
+            got = orbit[g * 2:(g + 1) * 2]
+            assert float(jnp.abs(got - expect).max()) < 1e-5, (n, g)

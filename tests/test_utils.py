@@ -125,3 +125,64 @@ def test_metric_logger_and_early_stopping(tmp_path):
     assert not es.update(0.5)
     assert not es.update(0.4)
     assert es.update(0.3)  # second bad check -> stop
+
+
+def test_load_prediction_params_from_mismatched_canonicalizer(tmp_path):
+    """Prediction-subtree transfer must work when the donor checkpoint's
+    canonicalizer differs from the current state's (the exact scenario the
+    reference's independent prediction-net loading covers,
+    train_utils.py:46-58)."""
+    from equiadapt_tpu.utils.checkpoint import load_prediction_params_from
+
+    # donor: num_rotations=4 canonicalizer
+    _, donor_state, _ = _tiny_state()
+    path = str(tmp_path / "donor")
+    save_checkpoint(path, donor_state, Config())
+
+    # current: a DIFFERENT canonicalizer (8 rotations -> different shapes)
+    cfg = CanonicalizationConfig(
+        network_hyperparams=NetworkHyperparams(
+            out_channels=4, num_layers=2, num_rotations=8
+        )
+    )
+    in_shape = (16, 16, 3)
+    net = get_image_canonicalization_network(cfg, in_shape)
+    canon = get_image_canonicalizer(cfg, net, in_shape)
+    pipe = ImageClassifierPipeline(
+        canonicalizer=canon,
+        prediction_network=ResNet18(num_classes=4, small_images=True),
+    )
+    batch = synthetic_image_batch(KEY, 4, size=16, num_classes=4)
+    state = create_train_state(pipe, jax.random.key(7), batch["image"], optax.adam(1e-3))
+
+    new_state = load_prediction_params_from(path, state)
+    a = jax.tree_util.tree_leaves(new_state.params["prediction_network"])
+    b = jax.tree_util.tree_leaves(donor_state.params["prediction_network"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # canonicalizer params untouched
+    c = jax.tree_util.tree_leaves(new_state.params["canonicalizer"])
+    d = jax.tree_util.tree_leaves(state.params["canonicalizer"])
+    for x, y in zip(c, d):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_assert_finite_loss_guard():
+    from equiadapt_tpu.utils.metrics import assert_finite_loss
+
+    assert_finite_loss({"loss/finite": np.float32(1.0)})  # passes
+    assert_finite_loss({})  # missing key: no-op
+    with pytest.raises(FloatingPointError):
+        assert_finite_loss({"loss/finite": np.float32(0.0)})
+
+
+def test_profile_trace_smoke(tmp_path):
+    from equiadapt_tpu.utils.profiling import annotate, device_memory_stats, profile_trace
+
+    with profile_trace(str(tmp_path / "trace"), enabled=True):
+        with annotate("canon/test"):
+            jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    assert any(tmp_path.glob("trace/**/*")), "no trace artifacts written"
+    with profile_trace(str(tmp_path / "off"), enabled=False):
+        pass
+    device_memory_stats()  # must not raise
