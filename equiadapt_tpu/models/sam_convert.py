@@ -107,11 +107,44 @@ def convert_sam_checkpoint(state_dict: Dict[str, Any], params: Dict[str, Any]) -
                 state_dict["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]
             )
 
-    # mask decoder tokens
+    # mask decoder: tokens, per-token hypernetwork MLPs, iou head, upscaling
     dec = out.get("MaskDecoderLite_0")
     if dec is not None and "mask_decoder.iou_token.weight" in state_dict:
-        dec["iou_token"] = _t(state_dict["mask_decoder.iou_token.weight"])[None]
-        dec["mask_token"] = _t(state_dict["mask_decoder.mask_tokens.weight"])[:1][None]
+        sd = state_dict
+        dec["iou_token"] = _t(sd["mask_decoder.iou_token.weight"])
+        mt = _t(sd["mask_decoder.mask_tokens.weight"])  # (4, C) in SAM
+        T = dec["mask_tokens"].shape[0]
+        dec["mask_tokens"] = mt[:T]
+        for j in range(T):
+            pre = f"mask_decoder.output_hypernetworks_mlps.{j}.layers"
+            for li in range(3):
+                if f"{pre}.{li}.weight" not in sd:
+                    break
+                dec[f"hyper{j}_{li}"]["kernel"] = _t(sd[f"{pre}.{li}.weight"]).T
+                dec[f"hyper{j}_{li}"]["bias"] = _t(sd[f"{pre}.{li}.bias"])
+        for li in range(3):
+            k = f"mask_decoder.iou_prediction_head.layers.{li}.weight"
+            if k not in sd:
+                break
+            w = _t(sd[k]).T
+            b = _t(sd[f"mask_decoder.iou_prediction_head.layers.{li}.bias"])
+            if li == 2:  # final layer: keep only the first T mask scores
+                w, b = w[:, :T], b[:T]
+            dec[f"iou_head_{li}"]["kernel"] = w
+            dec[f"iou_head_{li}"]["bias"] = b
+        # output upscaling: torch ConvTranspose2d (in, out, k, k) -> flax
+        # (k, k, in, out); LayerNorm2d weights map to the NHWC LayerNorm
+        if "mask_decoder.output_upscaling.0.weight" in sd:
+            dec["upscale_conv1"]["kernel"] = _t(
+                sd["mask_decoder.output_upscaling.0.weight"]
+            ).transpose(2, 3, 0, 1)
+            dec["upscale_conv1"]["bias"] = _t(sd["mask_decoder.output_upscaling.0.bias"])
+            dec["upscale_ln"]["scale"] = _t(sd["mask_decoder.output_upscaling.1.weight"])
+            dec["upscale_ln"]["bias"] = _t(sd["mask_decoder.output_upscaling.1.bias"])
+            dec["upscale_conv2"]["kernel"] = _t(
+                sd["mask_decoder.output_upscaling.3.weight"]
+            ).transpose(2, 3, 0, 1)
+            dec["upscale_conv2"]["bias"] = _t(sd["mask_decoder.output_upscaling.3.bias"])
 
     return out
 
@@ -121,3 +154,59 @@ def jax_to_plain(tree):
     if hasattr(tree, "items"):
         return {k: jax_to_plain(v) for k, v in tree.items()}
     return np.asarray(tree)
+
+
+def convert_sam_vit_encoder(
+    state_dict: Dict[str, Any], params: Dict[str, Any], prefix: str = "image_encoder."
+) -> Dict[str, Any]:
+    """Map a torch SAM image-encoder state dict onto SamVitEncoder params.
+
+    Complete (every torch leaf is consumed): patch embed, 2-D positional
+    embedding, per-block norms / fused qkv / proj / decomposed relative
+    position tables / MLP, and the neck convs + LayerNorm2d weights. Torch
+    Linear weights (out, in) transpose to flax kernels (in, out); convs
+    (O, I, K, K) -> HWIO. Equivalence of the converted forward against a
+    numpy reimplementation of the torch encoder is asserted in
+    tests/test_sam_convert.py.
+    """
+    out = jax_to_plain(params)
+    sd, pre = state_dict, prefix
+
+    def has(k):
+        return pre + k in sd
+
+    def g(k):
+        return _t(sd[pre + k])
+
+    out["patch_embed"]["kernel"] = g("patch_embed.proj.weight").transpose(2, 3, 1, 0)
+    out["patch_embed"]["bias"] = g("patch_embed.proj.bias")
+    if has("pos_embed"):
+        out["pos_embed"] = g("pos_embed")  # torch stores (1, h, w, C) already
+
+    i = 0
+    while has(f"blocks.{i}.norm1.weight"):
+        b = out[f"block{i}"]
+        for ln in ("norm1", "norm2"):
+            b[ln]["scale"] = g(f"blocks.{i}.{ln}.weight")
+            b[ln]["bias"] = g(f"blocks.{i}.{ln}.bias")
+        attn = b["attn"]
+        attn["qkv"]["kernel"] = g(f"blocks.{i}.attn.qkv.weight").T
+        attn["qkv"]["bias"] = g(f"blocks.{i}.attn.qkv.bias")
+        attn["proj"]["kernel"] = g(f"blocks.{i}.attn.proj.weight").T
+        attn["proj"]["bias"] = g(f"blocks.{i}.attn.proj.bias")
+        if has(f"blocks.{i}.attn.rel_pos_h"):
+            attn["rel_pos_h"] = g(f"blocks.{i}.attn.rel_pos_h")
+            attn["rel_pos_w"] = g(f"blocks.{i}.attn.rel_pos_w")
+        b["lin1"]["kernel"] = g(f"blocks.{i}.mlp.lin1.weight").T
+        b["lin1"]["bias"] = g(f"blocks.{i}.mlp.lin1.bias")
+        b["lin2"]["kernel"] = g(f"blocks.{i}.mlp.lin2.weight").T
+        b["lin2"]["bias"] = g(f"blocks.{i}.mlp.lin2.bias")
+        i += 1
+
+    out["neck_conv1"]["kernel"] = g("neck.0.weight").transpose(2, 3, 1, 0)
+    out["neck_ln1"]["scale"] = g("neck.1.weight")
+    out["neck_ln1"]["bias"] = g("neck.1.bias")
+    out["neck_conv2"]["kernel"] = g("neck.2.weight").transpose(2, 3, 1, 0)
+    out["neck_ln2"]["scale"] = g("neck.3.weight")
+    out["neck_ln2"]["bias"] = g("neck.3.bias")
+    return out

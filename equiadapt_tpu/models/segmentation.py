@@ -140,6 +140,7 @@ class MaskDecoderLite(nn.Module):
     embed_dim: int = 256
     depth: int = 2
     num_heads: int = 4
+    num_mask_tokens: int = 1  # 4 = SAM multimask (3 + 1 default) heads
 
     @nn.compact
     def __call__(
@@ -151,19 +152,24 @@ class MaskDecoderLite(nn.Module):
         """
         B, h, w, C = image_embed.shape
         N = prompt_embed.shape[1]
+        T = self.num_mask_tokens
         img = image_embed.reshape(B, 1, h * w, C)
         img = jnp.broadcast_to(img, (B, N, h * w, C)).reshape(B * N, h * w, C)
 
-        mask_tok = self.param("mask_token", nn.initializers.normal(0.02), (1, 1, C))
-        iou_tok = self.param("iou_token", nn.initializers.normal(0.02), (1, 1, C))
+        # token layout follows SAM: [iou_token, mask_tokens..., prompts]
+        # (mask_decoder.iou_token / mask_tokens in the torch checkpoint)
+        mask_tok = self.param(
+            "mask_tokens", nn.initializers.normal(0.02), (T, C)
+        )
+        iou_tok = self.param("iou_token", nn.initializers.normal(0.02), (1, C))
         toks = jnp.concatenate(
             [
-                jnp.broadcast_to(mask_tok, (B * N, 1, C)),
-                jnp.broadcast_to(iou_tok, (B * N, 1, C)),
+                jnp.broadcast_to(iou_tok[None], (B * N, 1, C)),
+                jnp.broadcast_to(mask_tok[None], (B * N, T, C)),
                 prompt_embed.reshape(B * N, 2, C),
             ],
             axis=1,
-        )  # (B*N, 4, C)
+        )  # (B*N, 1+T+2, C)
 
         for _ in range(self.depth):
             # tokens self-attend
@@ -180,15 +186,46 @@ class MaskDecoderLite(nn.Module):
             img = nn.LayerNorm()(img + a)
 
         grid = img.reshape(B * N, h, w, C)
-        up = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2))(grid)
+        # SAM output_upscaling: convT 2x2/2 -> LayerNorm2d -> GELU -> convT -> GELU
+        up = nn.ConvTranspose(C // 4, (2, 2), strides=(2, 2), name="upscale_conv1")(grid)
+        up = nn.LayerNorm(epsilon=1e-6, name="upscale_ln")(up)
         up = nn.gelu(up)
-        up = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2))(up)
+        up = nn.ConvTranspose(C // 8, (2, 2), strides=(2, 2), name="upscale_conv2")(up)
         up = nn.gelu(up)  # (B*N, 4h, 4w, C//8)
 
-        mask_hyper = nn.Dense(C // 8)(toks[:, 0])  # (B*N, C//8)
-        masks = jnp.einsum("bhwc,bc->bhw", up, mask_hyper)
-        iou = nn.Dense(1)(toks[:, 1])[..., 0]
-        return masks.reshape(B, N, 4 * h, 4 * w), iou.reshape(B, N)
+        # per-mask-token hypernetwork MLPs + iou head (SAM's
+        # output_hypernetworks_mlps / iou_prediction_head, 3 layers each)
+        def mlp3(t, dims, name):
+            for li, d in enumerate(dims):
+                t = nn.Dense(d, name=f"{name}_{li}")(t)
+                if li < len(dims) - 1:
+                    t = nn.relu(t)
+            return t
+
+        mask_out = toks[:, 1:1 + T]  # (B*N, T, C)
+        hypers = jnp.stack(
+            [
+                mlp3(mask_out[:, j], (C, C, C // 8), f"hyper{j}")
+                for j in range(T)
+            ],
+            axis=1,
+        )  # (B*N, T, C//8)
+        masks = jnp.einsum("bhwc,btc->bthw", up, hypers)  # (B*N, T, 4h, 4w)
+        iou = mlp3(toks[:, 0], (C, C, T), "iou_head")  # (B*N, T)
+
+        if T > 1:
+            # SAM multimask behavior: return the best mask by predicted IoU
+            best = jnp.argmax(iou, axis=-1)
+            oh = jax.nn.one_hot(best, T, dtype=masks.dtype)
+            masks = jnp.einsum("bthw,bt->bhw", masks, oh)
+            iou_sel = jnp.sum(iou * oh, axis=-1)
+        else:
+            masks = masks[:, 0]
+            iou_sel = iou[:, 0]
+        return (
+            masks.reshape(B, N, 4 * h, 4 * w),
+            iou_sel.reshape(B, N),
+        )
 
 
 class SAMLite(nn.Module):
@@ -200,6 +237,10 @@ class SAMLite(nn.Module):
     decoder_depth: int = 2
     num_heads: int = 4
     patch_size: int = 16
+    # "lite": from-scratch light ViT; "sam_vit": the faithful SAM encoder
+    # (models/sam_encoder.py) for running converted pretrained checkpoints
+    encoder: str = "lite"
+    num_mask_tokens: int = 1  # 4 for SAM multimask checkpoints
 
     @nn.compact
     def __call__(
@@ -210,14 +251,24 @@ class SAMLite(nn.Module):
         Returns (pred_mask_logits (B, N, H, W), iou_predictions (B, N)).
         """
         B, H, W, _ = images.shape
-        emb = ImageEncoderLite(
-            embed_dim=self.embed_dim, patch_size=self.patch_size,
-            depth=self.encoder_depth, num_heads=self.num_heads,
-        )(images, training=training)
+        if self.encoder == "sam_vit":
+            from equiadapt_tpu.models.sam_encoder import SamVitEncoder
+
+            emb = SamVitEncoder(
+                img_size=H, patch_size=self.patch_size,
+                embed_dim=self.encoder_depth * 64,  # SAM vit-b: 12 * 64
+                depth=self.encoder_depth, num_heads=self.num_heads,
+                out_chans=self.embed_dim,
+            )(images, training=training)
+        else:
+            emb = ImageEncoderLite(
+                embed_dim=self.embed_dim, patch_size=self.patch_size,
+                depth=self.encoder_depth, num_heads=self.num_heads,
+            )(images, training=training)
         sparse = PromptEncoderLite(embed_dim=self.embed_dim)(boxes, (H, W))
         low_res, iou = MaskDecoderLite(
             embed_dim=self.embed_dim, depth=self.decoder_depth,
-            num_heads=self.num_heads,
+            num_heads=self.num_heads, num_mask_tokens=self.num_mask_tokens,
         )(emb, sparse, training=training)
         masks = jax.image.resize(
             low_res, (B, low_res.shape[1], H, W), method="linear"

@@ -36,6 +36,7 @@ __all__ = [
     "make_segmentation_train_step",
     "create_segmentation_state",
     "mask_iou_map_metric",
+    "mean_average_precision_segm",
 ]
 
 
@@ -188,7 +189,9 @@ def segmentation_group_inference(
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             ((_, tc, pred_masks, ious), _info) = apply_jit(variables, xi, ti)
-            m = mask_iou_map_metric(pred_masks, ious, tc["masks"], tc["valid"])
+            m = mean_average_precision_segm(
+                pred_masks, ious, tc["masks"], tc["valid"]
+            )
             idx = g + refl * num_rotations
             results[f"test/map_element_{idx}"] = m
             maps.append(m)
@@ -212,3 +215,83 @@ def mask_iou_map_metric(
     n = jnp.maximum(valid.sum(), 1.0)
     aps = [jnp.sum((ious > t) * valid) / n for t in thresholds]
     return jnp.mean(jnp.stack(aps))
+
+
+def _pairwise_mask_iou(pred: Array, gt: Array) -> Array:
+    """(B, Np, H, W) x (B, Ng, H, W) -> (B, Np, Ng) IoU of binarized masks."""
+    p = (pred > 0.5).astype(jnp.float32).reshape(pred.shape[0], pred.shape[1], -1)
+    g = (gt > 0.5).astype(jnp.float32).reshape(gt.shape[0], gt.shape[1], -1)
+    inter = jnp.einsum("bpx,bgx->bpg", p, g)
+    union = p.sum(-1)[:, :, None] + g.sum(-1)[:, None, :] - inter
+    return inter / jnp.maximum(union, 1e-7)
+
+
+def mean_average_precision_segm(
+    pred_masks: Array,
+    scores: Array,
+    gt_masks: Array,
+    valid: Array,
+    thresholds=(0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95),
+) -> Array:
+    """COCO-style segm mAP: score-ranked greedy matching + 101-point
+    interpolated AP, averaged over IoU thresholds — the semantics of
+    torchmetrics MeanAveragePrecision(iou_type="segm") (reference
+    examples/images/segmentation/model.py:206-238), single class.
+
+    Fully static shapes (jit-friendly): predictions are globally sorted by
+    score; a lax.scan walks them in rank order, greedily matching each to
+    its image's best still-unmatched GT with IoU >= t; the TP sequence gives
+    the precision/recall curve. Validated against an independent numpy
+    implementation in tests/test_segmentation.py (exact on fixtures).
+
+    Args:
+        pred_masks: (B, N, H, W) predicted masks (probabilities or logits>0).
+        scores: (B, N) confidence per prediction (higher = better).
+        gt_masks: (B, N, H, W) ground-truth masks.
+        valid: (B, N) 1 where the instance slot is real (applies to both
+            predictions and GTs — padded prompt slots).
+    """
+    B, Np = scores.shape
+    iou_mat = _pairwise_mask_iou(pred_masks, gt_masks)  # (B, Np, Ng)
+    v = valid.astype(jnp.float32)
+    flat_scores = jnp.where(v > 0, scores, -jnp.inf).reshape(-1)
+    order = jnp.argsort(-flat_scores)  # global rank order
+    img_of = order // Np
+    slot_of = order % Np
+    pred_valid = (v.reshape(-1)[order] > 0)
+    n_gt = jnp.maximum(v.sum(), 1.0)
+    recall_pts = jnp.linspace(0.0, 1.0, 101)
+
+    def ap_at(t):
+        def step(matched, idx):
+            b, j, ok = img_of[idx], slot_of[idx], pred_valid[idx]
+            cand = (
+                (iou_mat[b, j] >= t)
+                & (matched[b] < 0.5)
+                & (v[b] > 0)
+            )
+            best = jnp.argmax(jnp.where(cand, iou_mat[b, j], -1.0))
+            tp = cand.any() & ok
+            matched = matched.at[b, best].add(
+                jnp.where(tp, 1.0, 0.0)
+            )
+            return matched, tp.astype(jnp.float32)
+
+        _, tps = jax.lax.scan(step, jnp.zeros_like(v), jnp.arange(B * Np))
+        cum_tp = jnp.cumsum(tps)
+        ranks = jnp.cumsum(pred_valid.astype(jnp.float32))
+        precision = cum_tp / jnp.maximum(ranks, 1.0)
+        recall = cum_tp / n_gt
+        # 101-point interpolation: max precision at recall >= r
+        prec_at = jnp.max(
+            jnp.where(
+                (recall[None, :] >= recall_pts[:, None])
+                & pred_valid[None, :],
+                precision[None, :],
+                0.0,
+            ),
+            axis=1,
+        )
+        return jnp.mean(prec_at)
+
+    return jnp.mean(jnp.stack([ap_at(t) for t in thresholds]))

@@ -61,10 +61,14 @@ def test_convert_maps_encoder_and_tokens():
         enc2["EncoderBlock_0"]["LayerNorm_0"]["scale"],
         sd["image_encoder.blocks.0.norm1.weight"],
     )
-    # decoder tokens
+    # decoder tokens (iou_token is (1, C), mask_tokens (T, C))
     np.testing.assert_allclose(
-        out["MaskDecoderLite_0"]["iou_token"][0, 0],
+        out["MaskDecoderLite_0"]["iou_token"][0],
         sd["mask_decoder.iou_token.weight"][0],
+    )
+    np.testing.assert_allclose(
+        out["MaskDecoderLite_0"]["mask_tokens"][0],
+        sd["mask_decoder.mask_tokens.weight"][0],
     )
     # converted tree still works in the model
     logits, ious = m.apply({"params": out}, x, boxes)

@@ -107,3 +107,115 @@ def test_mask_map_metric():
     valid = jnp.ones((2, 3))
     m = float(mask_iou_map_metric(pred, jnp.ones((2, 3)), gt, valid))
     np.testing.assert_allclose(m, 1.0)
+
+
+def _numpy_coco_ap(pred_masks, scores, gt_masks, valid, thresholds):
+    """Independent reference: COCO/torchmetrics-style single-class segm AP
+    (score-ranked greedy matching, 101-point interpolated precision)."""
+    import numpy as np
+
+    B, N = scores.shape
+    preds = []  # (score, b, iou_row)
+    gts = {b: [] for b in range(B)}
+    for b in range(B):
+        for j in range(N):
+            if valid[b, j] > 0:
+                gts[b].append(j)
+    for b in range(B):
+        for j in range(N):
+            if valid[b, j] > 0:
+                p = (pred_masks[b, j] > 0.5).astype(np.float64)
+                row = {}
+                for g in gts[b]:
+                    q = (gt_masks[b, g] > 0.5).astype(np.float64)
+                    inter = (p * q).sum()
+                    union = p.sum() + q.sum() - inter
+                    row[g] = inter / max(union, 1e-7)
+                preds.append((scores[b, j], b, row))
+    preds.sort(key=lambda t: -t[0])
+    n_gt = sum(len(v) for v in gts.values())
+    aps = []
+    for t in thresholds:
+        matched = {b: set() for b in range(B)}
+        tps = []
+        for s, b, row in preds:
+            cands = [(iou, g) for g, iou in row.items()
+                     if iou >= t and g not in matched[b]]
+            if cands:
+                iou, g = max(cands)
+                matched[b].add(g)
+                tps.append(1.0)
+            else:
+                tps.append(0.0)
+        tps = np.asarray(tps)
+        cum = np.cumsum(tps)
+        prec = cum / np.arange(1, len(tps) + 1)
+        rec = cum / max(n_gt, 1)
+        ap = 0.0
+        for r in np.linspace(0, 1, 101):
+            ok = rec >= r
+            ap += prec[ok].max() if ok.any() else 0.0
+        aps.append(ap / 101)
+    return float(np.mean(aps))
+
+
+def test_mean_average_precision_matches_numpy_coco_reference():
+    """mean_average_precision_segm == the independent numpy COCO-AP
+    implementation on fixtures with hits, misses, duplicate matches and
+    padded slots (the torchmetrics MeanAveragePrecision semantics,
+    reference model.py:206-238)."""
+    import numpy as np
+
+    from equiadapt_tpu.pipelines.segmentation import mean_average_precision_segm
+
+    rng = np.random.default_rng(0)
+    B, N, S = 3, 4, 24
+    gt = np.zeros((B, N, S, S), np.float32)
+    pred = np.zeros((B, N, S, S), np.float32)
+    for b in range(B):
+        for j in range(N):
+            y, x = rng.integers(2, S - 10, 2)
+            h, w = rng.integers(4, 9, 2)
+            gt[b, j, y:y + h, x:x + w] = 1.0
+            # predictions: some accurate, some shifted (partial IoU), one
+            # duplicate of another gt (tests greedy unmatched-gt constraint)
+            dy, dx = rng.integers(0, 4, 2)
+            src = (b * N + j) % N if (b + j) % 3 == 0 else j
+            yy, xx = np.nonzero(gt[b, src])
+            pred[b, j][np.clip(yy + dy, 0, S - 1), np.clip(xx + dx, 0, S - 1)] = 1.0
+    scores = rng.uniform(0.1, 1.0, (B, N)).astype(np.float32)
+    valid = np.ones((B, N), np.float32)
+    valid[1, 3] = 0.0  # padded slot
+    valid[2, 2] = 0.0
+    thresholds = (0.5, 0.75, 0.9)
+
+    ours = float(mean_average_precision_segm(
+        jnp.asarray(pred), jnp.asarray(scores), jnp.asarray(gt),
+        jnp.asarray(valid), thresholds,
+    ))
+    ref = _numpy_coco_ap(pred, scores, gt, valid, thresholds)
+    assert abs(ours - ref) < 1e-6, (ours, ref)
+    assert 0.0 < ours < 1.0, ours
+
+
+def test_mean_average_precision_perfect_and_empty():
+    import numpy as np
+
+    from equiadapt_tpu.pipelines.segmentation import mean_average_precision_segm
+
+    B, N, S = 2, 3, 16
+    gt = np.zeros((B, N, S, S), np.float32)
+    for b in range(B):
+        for j in range(N):
+            gt[b, j, 2 + j:6 + j, 3:9] = 1.0
+    scores = np.full((B, N), 0.9, np.float32)
+    valid = np.ones((B, N), np.float32)
+    perfect = float(mean_average_precision_segm(
+        jnp.asarray(gt), jnp.asarray(scores), jnp.asarray(gt), jnp.asarray(valid)
+    ))
+    assert abs(perfect - 1.0) < 1e-6, perfect
+    zero = float(mean_average_precision_segm(
+        jnp.asarray(np.zeros_like(gt)), jnp.asarray(scores), jnp.asarray(gt),
+        jnp.asarray(valid),
+    ))
+    assert zero == 0.0, zero
