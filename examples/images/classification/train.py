@@ -129,6 +129,40 @@ def main(argv) -> None:
         print({k: float(jnp.mean(v)) for k, v in metrics.items()})
         return
 
+    if cfg.experiment.run_mode == "auto_tune":
+        # TPU-native trainer.tune: LR range test before training
+        # (reference train.py:105-106 -> Lightning trainer.tune)
+        from equiadapt_tpu.utils.tuner import lr_find
+
+        def _batches():
+            e = 0
+            while True:
+                yield from get_batches(cfg, jax.random.fold_in(rng, 50_000 + e), 10)
+                e += 1
+
+        result = lr_find(
+            create_state=lambda tx: replicate(
+                create_train_state(pipeline, rng, sample["image"], tx), mesh
+            ),
+            make_step=lambda s: data_parallel_jit(
+                make_train_step(loss_kwargs, jit=False), mesh, num_extra_args=1
+            ),
+            batches=map(lambda b: shard_batch(b, mesh), _batches()),
+            rng=rng,
+        )
+        print(f"auto_tune: suggested learning rate {result.suggestion:.3e}")
+        tx = make_optimizer(
+            architecture=cfg.prediction.architecture,
+            dataset_name=cfg.dataset.dataset_name,
+            learning_rate=result.suggestion,
+            canonicalization_learning_rate=cfg.experiment.canonicalization_learning_rate,
+            weight_decay=cfg.experiment.weight_decay,
+            freeze_prediction=cfg.prediction.freeze_encoder,
+        )
+        state = replicate(
+            create_train_state(pipeline, rng, sample["image"], tx), mesh
+        )
+
     logger = MetricLogger(f"{cfg.checkpoint.checkpoint_path}/train_log.jsonl"
                           if cfg.checkpoint.checkpoint_path else None)
     saver = (

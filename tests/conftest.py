@@ -23,6 +23,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compile cache: the suite is dominated by XLA:CPU compiles of
+# the 8-device SPMD programs; warm runs skip them entirely. Machine-local
+# (gitignored) — XLA:CPU AOT artifacts bake in host CPU features.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", jax.default_backend()

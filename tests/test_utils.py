@@ -66,6 +66,21 @@ def test_config_yaml(tmp_path):
     assert cfg.dataset.num_classes == 7
 
 
+class _TinyPredNet(__import__("flax").linen.Module):
+    """Small conv head: checkpoint/restore logic doesn't need ResNet18."""
+
+    num_classes: int = 4
+
+    @__import__("flax").linen.compact
+    def __call__(self, x, training=False):
+        import flax.linen as fnn
+
+        x = fnn.Conv(8, (3, 3), strides=(2, 2))(x)
+        x = fnn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return fnn.Dense(self.num_classes)(x)
+
+
 def _tiny_state():
     cfg = CanonicalizationConfig(
         network_hyperparams=NetworkHyperparams(out_channels=4, num_layers=2)
@@ -74,7 +89,7 @@ def _tiny_state():
     net = get_image_canonicalization_network(cfg, in_shape)
     canon = get_image_canonicalizer(cfg, net, in_shape)
     pipe = ImageClassifierPipeline(
-        canonicalizer=canon, prediction_network=ResNet18(num_classes=4, small_images=True)
+        canonicalizer=canon, prediction_network=_TinyPredNet(num_classes=4)
     )
     batch = synthetic_image_batch(KEY, 4, size=16, num_classes=4)
     state = create_train_state(pipe, KEY, batch["image"], optax.adam(1e-3))
@@ -149,8 +164,7 @@ def test_load_prediction_params_from_mismatched_canonicalizer(tmp_path):
     net = get_image_canonicalization_network(cfg, in_shape)
     canon = get_image_canonicalizer(cfg, net, in_shape)
     pipe = ImageClassifierPipeline(
-        canonicalizer=canon,
-        prediction_network=ResNet18(num_classes=4, small_images=True),
+        canonicalizer=canon, prediction_network=_TinyPredNet(num_classes=4)
     )
     batch = synthetic_image_batch(KEY, 4, size=16, num_classes=4)
     state = create_train_state(pipe, jax.random.key(7), batch["image"], optax.adam(1e-3))
@@ -186,3 +200,17 @@ def test_profile_trace_smoke(tmp_path):
     with profile_trace(str(tmp_path / "off"), enabled=False):
         pass
     device_memory_stats()  # must not raise
+
+
+def test_lr_find_suggests_descending_region():
+    """The LR-finder heuristic picks the steepest-descent LR on a canonical
+    curve (flat -> steep drop -> divergence), like Lightning's LRFinder."""
+    from equiadapt_tpu.utils.tuner import _suggest
+
+    lrs = np.logspace(-6, 0, 60)
+    # flat until 1e-4, steep drop around 1e-3..1e-2, divergence after 1e-1
+    losses = np.where(lrs < 1e-4, 2.0, np.where(lrs < 3e-2, 2.0 - 1.5 *
+                      (np.log10(lrs / 1e-4) / np.log10(3e-2 / 1e-4)),
+                      0.5 + 50 * (lrs - 3e-2)))
+    s = _suggest(lrs, losses.astype(np.float64))
+    assert 1e-4 < s < 5e-2, s
