@@ -146,6 +146,23 @@ def bench_jax() -> dict:
 
     res_params_bf16 = cast_params(res_params)
 
+    # ---- on-hardware kernel equality checks (run every round) ----
+    # pallas select kernel must be bit-identical to the blend path; the
+    # shear kernel must be bit-identical to its interpret-mode reference.
+    from equiadapt_tpu.ops.pallas.select_warp import _blend_ref, rotate_select
+    from equiadapt_tpu.ops.pallas.shear_rotate import shear_rotate_residual
+
+    xs = jnp.asarray(rng.normal(size=(8, 64, 64, 3)).astype(np.float32))
+    idx8 = jnp.asarray(rng.integers(0, NUM_ROT, size=(8,)).astype(np.int32))
+    sel_pallas = rotate_select(xs, idx8, NUM_ROT, -1.0, "border")
+    sel_blend = _blend_ref(xs, idx8, NUM_ROT, -1.0, "border")
+    rr = jnp.asarray(rng.uniform(-np.pi / 4, np.pi / 4, 8).astype(np.float32))
+    sh_tpu = shear_rotate_residual(xs, rr, 32.0, 32.0, "border")
+    sh_itp = shear_rotate_residual(xs, rr, 32.0, 32.0, "border", interpret=True)
+    kernels_bitexact = bool((sel_pallas == sel_blend).all()) and bool(
+        (sh_tpu == sh_itp).all()
+    )
+
     # continuous (steerable) canonicalize: fast 3-shear kernel vs exact
     # dynamic-gather warp (verdict item: within ~2x of the discrete path)
     from equiadapt_tpu.images.canonicalization.continuous_group import (
@@ -176,7 +193,7 @@ def bench_jax() -> dict:
 
         return step
 
-    out = {}
+    out = {"kernels_bitexact": kernels_bitexact}
     out["continuous_fast_ms"] = timed_ms(steer_canon(steer_fast), steer_params, x)
     out["continuous_exact_ms"] = timed_ms(steer_canon(steer_exact), steer_params, x)
     out["tput_fast_ms"] = timed_ms(
@@ -310,6 +327,7 @@ def main() -> None:
                 "continuous_canonicalize_exact_ms": round(
                     m["continuous_exact_ms"], 2
                 ),
+                "kernels_bitexact_on_tpu": m["kernels_bitexact"],
             }
         )
     )
