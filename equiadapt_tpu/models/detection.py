@@ -71,6 +71,10 @@ class MaskRCNNLite(nn.Module):
     channels: int = 128
     decoder_depth: int = 1
     num_heads: int = 4
+    # torchvision box_score_thresh analog: detections below it are zeroed
+    # (the reference wrapper's empty-prediction fallback,
+    # model_utils.py:74-97, done branch-free with a validity mask)
+    score_threshold: float = 0.05
 
     @nn.compact
     def __call__(
@@ -128,13 +132,27 @@ class MaskRCNNLite(nn.Module):
             low_res, (B, low_res.shape[1], H, W), method="linear"
         )
 
+        # empty-prediction fallback: zero out detections below the score
+        # threshold — torchvision-style, but static shapes (score-ranked
+        # slots stay sorted because top_k returns descending scores)
+        det_scores = jax.nn.sigmoid(scores)
+        det_valid = (det_scores >= self.score_threshold).astype(det_scores.dtype)
+        det_boxes = det_boxes * det_valid[..., None]
+        det_labels = det_labels * det_valid.astype(det_labels.dtype)
+        det_scores = det_scores * det_valid
+        if boxes is None:
+            masks = masks + jnp.where(
+                det_valid[..., None, None] > 0, 0.0, -1e4
+            ).astype(masks.dtype)
+
         return {
             "obj_logits": obj_logits,
             "cls_logits": cls_logits,
             "dense_boxes": dense_boxes,
             "det_boxes": det_boxes,
-            "det_scores": jax.nn.sigmoid(scores),
+            "det_scores": det_scores,
             "det_labels": det_labels,
+            "det_valid": det_valid,
             "pred_masks": masks,
             "ious": ious,
             "stride": stride,

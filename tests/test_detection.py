@@ -92,3 +92,36 @@ def test_train_step_reduces_loss():
         if first is None:
             first = float(loss)
     assert float(loss) < first
+
+
+def test_torchvision_behavioral_semantics():
+    """Score-ranked detections + empty-prediction fallback (the reference
+    MaskRCNNModel wrapper's eval semantics, model_utils.py:37-97):
+    det_scores are descending per image, and slots below score_threshold
+    come back zeroed (boxes, labels, scores) with suppressed masks."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from equiadapt_tpu.models.detection import MaskRCNNLite
+
+    m = MaskRCNNLite(num_classes=5, max_instances=4, channels=32,
+                     score_threshold=0.6)
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3))
+    variables = m.init(jax.random.key(1), x, training=False)
+    out = m.apply(variables, x, training=False)
+    scores = np.asarray(out["det_scores"])
+    # score-ranked: descending within each image
+    assert (np.diff(scores, axis=1) <= 1e-6).all(), scores
+    valid = np.asarray(out["det_valid"])
+    # a fresh random model scores ~sigmoid(0)=0.5 < 0.6: everything below
+    # threshold must be fully zeroed (the empty-prediction fallback)
+    below = valid < 0.5
+    assert below.any(), "pick a higher threshold for this fixture"
+    assert (np.asarray(out["det_boxes"])[below] == 0).all()
+    assert (scores[below] == 0).all()
+    assert (np.asarray(out["det_labels"])[below] == 0).all()
+    # suppressed masks: sigmoid(logit) ~ 0 everywhere for invalid slots
+    masks = np.asarray(out["pred_masks"])
+    probs = 1.0 / (1.0 + np.exp(-masks[below]))
+    assert (probs < 1e-3).all()
