@@ -92,6 +92,9 @@ class ExperimentConfig:
     loss: TrainingLossConfig = field(default_factory=TrainingLossConfig)
     inference_method: str = "vanilla"  # vanilla | group
     num_group_elements_for_inference: int = 4
+    # jax.profiler trace of the first training steps (utils/profiling.py)
+    profile: bool = False
+    profile_dir: str = "/tmp/eqt_profile"
 
 
 @dataclass(frozen=True)

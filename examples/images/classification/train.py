@@ -172,6 +172,17 @@ def main(argv) -> None:
     )
     stopper = EarlyStopping(patience=10)
     steps_per_epoch = 20 if cfg.dataset.dataset_name == "synthetic" else 400
+    if cfg.experiment.profile:
+        # capture a device trace of the first steps; named scopes label the
+        # canonicalize/select/warp/invert stages (utils/profiling.py)
+        from equiadapt_tpu.utils.profiling import profile_trace
+
+        with profile_trace(cfg.experiment.profile_dir):
+            b = next(get_batches(cfg, jax.random.fold_in(rng, 77), 1))
+            for _ in range(3):
+                state, m = step(state, shard_batch(b, mesh), rng)
+            jax.block_until_ready(m["loss/total"])
+        print(f"profile trace written to {cfg.experiment.profile_dir}")
     for epoch in range(cfg.experiment.num_epochs):
         for batch in get_batches(cfg, jax.random.fold_in(rng, epoch), steps_per_epoch):
             state, metrics = step(state, shard_batch(batch, mesh), rng)
