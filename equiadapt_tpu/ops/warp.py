@@ -362,13 +362,14 @@ def rotate_select_fast(
         res_idx = jnp.asarray(res_of_g, jnp.int32)[idx]
         oh_r = jax.nn.one_hot(res_idx, len(cands), dtype=x.dtype)
         z = sum(c * oh_r[:, i][:, None, None, None] for i, c in enumerate(cands))
+    # quarter turns as a 2-stage (rot90 then rot180) blend: 2 two-candidate
+    # blends move less HBM than one 4-candidate blend (rot180 is a pure
+    # reversal that fuses into its consumer), bit-identical output
     k_idx = jnp.asarray(k_of_g, jnp.int32)[idx]
-    oh_k = jax.nn.one_hot(k_idx, 4, dtype=x.dtype)
-    out = None
-    for k in range(4):
-        cand = jnp.rot90(z, k=k, axes=(1, 2)) * oh_k[:, k][:, None, None, None]
-        out = cand if out is None else out + cand
-    return out
+    k0 = (k_idx % 2).astype(x.dtype)[:, None, None, None]
+    k1 = (k_idx // 2).astype(x.dtype)[:, None, None, None]
+    w = (1.0 - k0) * z + k0 * jnp.rot90(z, k=1, axes=(1, 2))
+    return (1.0 - k1) * w + k1 * jnp.rot90(w, k=2, axes=(1, 2))
 
 
 def rotate_discrete(
