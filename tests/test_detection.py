@@ -41,6 +41,7 @@ def test_decode_boxes():
     )
 
 
+@pytest.mark.slow
 def test_forward_and_loss():
     m = MaskRCNNLite(num_classes=5, max_instances=4, channels=32)
     b = _batch()
@@ -54,6 +55,7 @@ def test_forward_and_loss():
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow
 def test_inference_mode_uses_predicted_boxes():
     m = MaskRCNNLite(num_classes=5, max_instances=3, channels=32)
     b = _batch(n=3)
@@ -94,6 +96,7 @@ def test_train_step_reduces_loss():
     assert float(loss) < first
 
 
+@pytest.mark.slow
 def test_torchvision_behavioral_semantics():
     """Score-ranked detections + empty-prediction fallback (the reference
     MaskRCNNModel wrapper's eval semantics, model_utils.py:37-97):

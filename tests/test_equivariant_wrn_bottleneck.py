@@ -3,10 +3,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from equiadapt_tpu.images.networks.equivariant import EquivariantWideResNet
 
 
+@pytest.mark.slow
 def test_bottleneck_wrn_equivariance():
     net = EquivariantWideResNet(
         in_channels=3, out_channels=4, kernel_size=3, group_type="rotation",

@@ -32,6 +32,7 @@ def test_resnet18_small_images():
     _finite(y)
 
 
+@pytest.mark.slow
 def test_resnet50_stem():
     m = ResNet50(num_classes=7)
     x = jnp.zeros((2, 64, 64, 3))
@@ -49,6 +50,7 @@ def test_vit_tiny():
     assert y.shape == (2, 5)
 
 
+@pytest.mark.slow
 def test_pointnet_and_dgcnn():
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
@@ -65,6 +67,7 @@ def test_pointnet_and_dgcnn():
     _finite(y)
 
 
+@pytest.mark.slow
 def test_dgcnn_partseg():
     rng = np.random.default_rng(1)
     pts = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
@@ -76,6 +79,7 @@ def test_dgcnn_partseg():
     _finite(y)
 
 
+@pytest.mark.slow
 def test_gnn_and_transformer():
     rng = np.random.default_rng(2)
     loc = jnp.asarray(rng.normal(size=(2, 5, 3)).astype(np.float32))

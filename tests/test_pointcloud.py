@@ -129,6 +129,7 @@ def test_vnsmall_equivariance_and_canonicalization_invariance():
     np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vnsmall_maxpool_variant_runs():
     net = VNSmall(n_knn=4, pooling="max")
     rng = np.random.default_rng(5)

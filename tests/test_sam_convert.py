@@ -3,11 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from equiadapt_tpu.models.sam_convert import convert_sam_checkpoint, jax_to_plain
 from equiadapt_tpu.models.segmentation import SAMLite
 
 
+@pytest.mark.slow
 def test_convert_maps_encoder_and_tokens():
     m = SAMLite(embed_dim=32, encoder_depth=1, decoder_depth=1, num_heads=2,
                 patch_size=8)

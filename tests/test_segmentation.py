@@ -64,16 +64,19 @@ def test_losses_and_iou():
     assert float(dice_loss(perfect, gt)) < 0.01
 
 
+@pytest.mark.slow
 def test_samlite_forward_shapes():
-    m = SAMLite(embed_dim=64, encoder_depth=1, decoder_depth=1, num_heads=2)
-    b = _batch(size=64)
+    m = SAMLite(embed_dim=32, encoder_depth=1, decoder_depth=1, num_heads=2,
+                patch_size=8)
+    b = _batch(size=32)
     params = m.init(KEY, b["image"], b["targets"]["boxes"])
     masks, ious = m.apply(params, b["image"], b["targets"]["boxes"])
-    assert masks.shape == (2, 3, 64, 64)
+    assert masks.shape == (2, 3, 32, 32)
     assert ious.shape == (2, 3)
     assert np.isfinite(np.asarray(masks)).all()
 
 
+@pytest.mark.slow
 def test_segmentation_pipeline_train_step():
     net = EquivariantNetwork(
         in_channels=3, out_channels=4, kernel_size=3, group_type="rotation",
