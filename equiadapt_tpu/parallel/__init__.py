@@ -5,4 +5,18 @@ from equiadapt_tpu.parallel.mesh import (
     shard_batch,
 )
 
-__all__ = ["data_parallel_jit", "make_mesh", "replicate", "shard_batch"]
+from equiadapt_tpu.parallel.fsdp import (
+    fsdp_sharding,
+    shard_params_fsdp,
+    shard_state_fsdp,
+)
+
+__all__ = [
+    "data_parallel_jit",
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "fsdp_sharding",
+    "shard_params_fsdp",
+    "shard_state_fsdp",
+]
