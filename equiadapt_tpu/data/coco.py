@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

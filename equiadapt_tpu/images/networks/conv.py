@@ -9,7 +9,7 @@ vectors (optimized steerable).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ All NHWC with C-major/G-minor fiber layout.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

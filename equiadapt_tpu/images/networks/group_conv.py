@@ -26,7 +26,7 @@ Group math (dihedral D_n, elements {r_k} ∪ {m r_k}):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -23,13 +23,12 @@ classification (CE) and mask (focal+dice via the segmentation pipeline).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from equiadapt_tpu.models.resnet import ResNet18
 from equiadapt_tpu.models.segmentation import MaskDecoderLite, PromptEncoderLite, dice_loss, focal_loss
 
 Array = jnp.ndarray

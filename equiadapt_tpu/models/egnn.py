@@ -11,7 +11,7 @@ complete, so the O(n^2) dense form is both simpler and faster on the MXU).
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

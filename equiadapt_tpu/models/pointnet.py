@@ -9,7 +9,7 @@ single take_along_axis.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

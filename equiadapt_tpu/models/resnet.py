@@ -16,7 +16,7 @@ conv+BN+ReLU left to XLA, bfloat16-friendly.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

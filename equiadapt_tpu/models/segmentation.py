@@ -18,7 +18,7 @@ Uniform output contract (matches the reference 4-tuple semantics):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax

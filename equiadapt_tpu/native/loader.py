@@ -14,7 +14,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Dict, Iterator, Optional, Sequence, Tuple
+from typing import Dict, Iterator
 
 import numpy as np
 

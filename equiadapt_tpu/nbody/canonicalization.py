@@ -10,7 +10,7 @@ kwargs-order-dependent `kwargs.values()` unpacking of the reference
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

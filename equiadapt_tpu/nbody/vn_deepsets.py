@@ -22,7 +22,7 @@ custom_equivariant_networks.py:13-280. Structural redesign:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ interpret mode; the TPU check script asserts it on hardware).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -43,7 +43,7 @@ from equiadapt_tpu.images.canonicalization.continuous_group import (
 from equiadapt_tpu.images.canonicalization.discrete_group import (
     optimization_specific_loss,
 )
-from equiadapt_tpu.ops.warp import group_angles, hflip, rotate
+from equiadapt_tpu.ops.warp import rotate
 
 Array = jnp.ndarray
 

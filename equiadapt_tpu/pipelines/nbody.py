@@ -8,7 +8,7 @@ models/egnn.py.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax

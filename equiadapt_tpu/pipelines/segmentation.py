@@ -13,7 +13,7 @@ model.py:58-106); prior regularization makes the frozen-model
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

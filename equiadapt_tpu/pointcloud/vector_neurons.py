@@ -18,7 +18,7 @@ exactly (orthogonal Q, fp32 tolerance).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

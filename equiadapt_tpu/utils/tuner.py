@@ -11,7 +11,7 @@ fetched per step (tiny transfers), and the suggestion is computed host-side.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, Tuple
+from typing import Any, Callable, Dict, Iterator
 
 import jax
 import numpy as np
