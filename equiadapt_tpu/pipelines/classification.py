@@ -32,7 +32,6 @@ from flax import struct
 from flax.core import FrozenDict
 
 from equiadapt_tpu.common.info import (
-    DiscreteCanonicalizationInfo,
     IdentityCanonicalizationInfo,
     identity_metric,
     prior_regularization_loss,
@@ -43,7 +42,6 @@ from equiadapt_tpu.images.canonicalization.continuous_group import (
 from equiadapt_tpu.images.canonicalization.discrete_group import (
     optimization_specific_loss,
 )
-from equiadapt_tpu.ops.warp import rotate
 
 Array = jnp.ndarray
 
