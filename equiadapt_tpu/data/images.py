@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -185,16 +185,36 @@ def image_batch_iterator(
     augment: str = "none",
     num_rotations: int = 4,
     shuffle: bool = True,
+    dataset_name: Optional[str] = None,
 ) -> Iterator[Dict[str, Array]]:
     """Epoch iterator with the reference's augmentation policies
     (prepare/cifar_data.py:26-80): 'none', 'flip' (crop+flip),
-    'rotation' (+ discrete group rotations)."""
+    'rotation' (+ discrete group rotations), 'autoaugment' (the real
+    torchvision CIFAR10 AutoAugment policy when dataset_name gives the
+    normalization stats to round-trip through uint8; jit-friendly
+    rand_augment otherwise)."""
     n = data["image"].shape[0]
     order = np.asarray(jax.random.permutation(rng, n)) if shuffle else np.arange(n)
+    aa_rng = np.random.default_rng(
+        int(jax.random.randint(jax.random.fold_in(rng, 7), (), 0, 2**31 - 1))
+    )
     for i in range(n // batch_size):
         idx = order[i * batch_size : (i + 1) * batch_size]
-        img = jnp.asarray(data["image"][idx])
+        img_np = data["image"][idx]
         lab = jnp.asarray(data["label"][idx])
+        if augment == "autoaugment" and dataset_name in DATASET_STATS:
+            # AutoAugment operates on uint8 pre-normalization (like the
+            # torchvision transform ordering): denormalize, augment,
+            # renormalize — host-side, matching the torch CPU data path
+            from equiadapt_tpu.data.autoaugment import autoaugment_cifar10
+
+            mean, std = DATASET_STATS[dataset_name]
+            raw = np.clip(
+                (img_np * np.asarray(std) + np.asarray(mean)) * 255.0, 0, 255
+            ).astype(np.uint8)
+            raw = autoaugment_cifar10(aa_rng, raw)
+            img_np = _normalize(raw.astype(np.float32) / 255.0, dataset_name)
+        img = jnp.asarray(img_np)
         if augment in ("flip", "rotation", "autoaugment"):
             k1, k2, rng = jax.random.split(rng, 3)
             flip = jax.random.bernoulli(k1, 0.5, (batch_size,))
@@ -204,6 +224,6 @@ def image_batch_iterator(
 
                 ang = jax.random.choice(k2, group_angles(num_rotations), (batch_size,))
                 img = rotate(img, ang, padding_mode="border")
-            elif augment == "autoaugment":
+            elif augment == "autoaugment" and dataset_name not in DATASET_STATS:
                 img = rand_augment(k2, img)
         yield {"image": img, "label": lab}
