@@ -305,7 +305,7 @@ class OptimizedGroupEquivariantImageCanonicalization(DiscreteGroupImageCanonical
 
         return materialize_orbit(
             x, self.num_rotations, group_type=self.group_type,
-            padding_mode=self.padding_mode,
+            padding_mode=self.padding_mode, mode=self.warp_mode,
         )
 
     def get_group_activations(self, x: Array, training: bool):

@@ -167,6 +167,7 @@ def materialize_orbit(
     padding_mode: str = "border",
     use_pallas: bool = False,
     sign: float = -1.0,
+    mode: str = "exact",
 ) -> Array:
     """Full |G|-orbit: exact permutations when all angles are 90-degree
     multiples, shared bilinear warp otherwise.
@@ -182,13 +183,19 @@ def materialize_orbit(
             use_pallas=use_pallas, sign=sign,
         )
         return orbit.reshape((-1,) + x.shape[1:])
-    from equiadapt_tpu.ops.warp import _static_rotate, hflip
+    from equiadapt_tpu.ops.warp import _residual_rotate, hflip
 
     # per-element *static* warps: the orbit angles are trace-time constants,
-    # so every element avoids the slow dynamic-gather path
+    # so every element avoids the slow dynamic-gather path; mode="fast"
+    # resolves non-90 residuals via the two-pass MXU rotation
     degrees = np.linspace(0.0, 360.0, num_rotations + 1)[:num_rotations]
     rot = jnp.concatenate(
-        [_static_rotate(x, float(sign) * float(d), padding_mode) for d in degrees],
+        [
+            x
+            if (float(sign) * float(d)) % 360.0 == 0.0
+            else _residual_rotate(x, float(sign) * float(d), padding_mode, mode)
+            for d in degrees
+        ],
         axis=0,
     )
     if refl:
