@@ -193,7 +193,31 @@ def bench_jax() -> dict:
 
         return step
 
+    # optimized orbit canonicalizer (BASELINE config 2: D8, conv energy net,
+    # STL10-scale 96px) — the |G|-orbit fusion target
+    from equiadapt_tpu.images import OptimizedGroupEquivariantImageCanonicalization
+    from equiadapt_tpu.images.networks.conv import ConvNetwork
+
+    opt_canon = OptimizedGroupEquivariantImageCanonicalization(
+        canonicalization_network=ConvNetwork(
+            in_channels=3, out_channels=32, kernel_size=3, num_layers=2,
+            out_vector_size=128,
+        ),
+        in_shape=(96, 96, 3), num_rotations=NUM_ROT,
+        group_type="roto-reflection", input_crop_ratio=0.9, resize_shape=RESIZE,
+        warp_mode="fast", compute_dtype=jnp.bfloat16,
+    )
+    x96 = jnp.asarray(rng.normal(size=(128, 96, 96, 3)).astype(np.float32))
+    opt_params = jax.jit(lambda k, s: opt_canon.init(k, s, training=False))(
+        jax.random.key(3), x96[:2]
+    )
+
+    def opt_step(cp, xx, i):
+        x_c, _ = opt_canon.apply(cp, xx + i * 1e-9, training=False)
+        return jnp.sum(x_c.astype(jnp.float32))
+
     out = {"kernels_bitexact": kernels_bitexact}
+    out["opt_d8_96px_ms"] = timed_ms(opt_step, opt_params, x96)
     out["continuous_fast_ms"] = timed_ms(steer_canon(steer_fast), steer_params, x)
     out["continuous_exact_ms"] = timed_ms(steer_canon(steer_exact), steer_params, x)
     out["tput_fast_ms"] = timed_ms(
@@ -328,6 +352,9 @@ def main() -> None:
                     m["continuous_exact_ms"], 2
                 ),
                 "kernels_bitexact_on_tpu": m["kernels_bitexact"],
+                "opt_d8_orbit_canonicalize_img_s": round(
+                    128.0 / m["opt_d8_96px_ms"] * 1e3, 1
+                ),
             }
         )
     )
