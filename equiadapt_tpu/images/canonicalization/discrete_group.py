@@ -36,14 +36,13 @@ from equiadapt_tpu.common.info import (
     DiscreteGroupElement,
 )
 from equiadapt_tpu.common.selector import select_onehot
-from equiadapt_tpu.ops.boxes import flip_boxes, flip_masks, rotate_boxes, rotate_masks
+from equiadapt_tpu.ops.boxes import flip_boxes, flip_masks, rotate_boxes
 from equiadapt_tpu.ops.group_action import get_action_on_image_features
 from equiadapt_tpu.ops.warp import (
     center_crop,
     group_angles,
     hflip,
     resize,
-    rotate,
     rotate_discrete,
 )
 
@@ -219,7 +218,24 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
                 boxes = (1.0 - r[:, None, None]) * boxes + r[:, None, None] * boxes_f
                 masks = (1.0 - r[:, None, None, None]) * masks + r[:, None, None, None] * masks_f
             boxes = rotate_boxes(boxes, element.rotation_deg, width)
-            masks = rotate_masks(masks, -element.rotation_deg)
+            # mask angles come from the discrete set, so the static-tap
+            # blend/select machinery applies (the generic rotate_masks would
+            # hit the slow dynamic-gather path for these traced angles)
+            N = masks.shape[1]
+            masks_nhwc = jnp.moveaxis(masks, 1, -1)  # (B, H, W, N)
+            if training:
+                masks_nhwc = rotate_discrete(
+                    masks_nhwc, rot_onehot.astype(masks_nhwc.dtype), n,
+                    sign=-1.0, padding_mode="zeros", mode=self.warp_mode,
+                )
+            else:
+                from equiadapt_tpu.ops.pallas.select_warp import rotate_select
+
+                masks_nhwc = rotate_select(
+                    masks_nhwc, jnp.argmax(rot_onehot, axis=-1), n, -1.0,
+                    "zeros", self.warp_mode,
+                )
+            masks = jnp.moveaxis(masks_nhwc, -1, 1)
             return x, {**targets, "boxes": boxes, "masks": masks}, info
 
         return x, info

@@ -161,13 +161,15 @@ def segmentation_group_inference(
     """Per-group-element mAP sweep (reference segmentation
     inference_utils.py:119-264): transform image AND targets by each group
     element, run the pipeline, report per-element and aggregated map."""
+    import numpy as onp
+
     from equiadapt_tpu.ops.boxes import flip_boxes, flip_masks, rotate_boxes, rotate_masks
-    from equiadapt_tpu.ops.warp import group_angles, hflip, rotate
+    from equiadapt_tpu.ops.warp import _residual_rotate, hflip
 
     x = batch["image"]
     targets = batch["targets"]
     B, H, W, _ = x.shape
-    degrees = group_angles(num_rotations)
+    degrees = onp.linspace(0.0, 360.0, num_rotations + 1)[:num_rotations]
     results = {}
     maps = []
     reflections = (0, 1) if group_type == "roto-reflection" else (0,)
@@ -176,7 +178,9 @@ def segmentation_group_inference(
         for g in range(num_rotations):
             ang = jnp.full((B,), -float(degrees[g]))
             xi = hflip(x) if refl else x
-            xi = rotate(xi, ang, padding_mode="border")
+            # the sweep angle is a trace-time constant: static-tap warp, not
+            # the dynamic-gather path a traced angle would trigger
+            xi = _residual_rotate(xi, -float(degrees[g]), "border", "exact")
             boxes = targets["boxes"]
             masks = targets["masks"]
             if refl:
