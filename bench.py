@@ -216,7 +216,59 @@ def bench_jax() -> dict:
         x_c, _ = opt_canon.apply(cp, xx + i * 1e-9, training=False)
         return jnp.sum(x_c.astype(jnp.float32))
 
+    # pointcloud SO(3) canonicalization (BASELINE config 4): VNSmall frame
+    # estimation + rotation, ModelNet-scale point count
+    from equiadapt_tpu.pointcloud.canonicalization import (
+        EquivariantPointcloudCanonicalization,
+    )
+    from equiadapt_tpu.pointcloud.networks import VNSmall
+
+    pc_canon = EquivariantPointcloudCanonicalization(
+        canonicalization_network=VNSmall(n_knn=16, pooling="mean")
+    )
+    pts = jnp.asarray(rng.normal(size=(64, 1024, 3)).astype(np.float32))
+    pc_params = jax.jit(lambda k, s: pc_canon.init(k, s, training=False))(
+        jax.random.key(4), pts[:2]
+    )
+
+    def pc_step(cp, pp, i):
+        p_c, _ = pc_canon.apply(cp, pp + i * 1e-9, training=False)
+        return jnp.sum(p_c)
+
+    # n-body SE(3) canonicalization (BASELINE config 3): VNDeepSets
+    from equiadapt_tpu.nbody.canonicalization import EuclideanGroupNBody
+    from equiadapt_tpu.nbody.vn_deepsets import VNDeepSets
+
+    nb_canon = EuclideanGroupNBody(
+        canonicalization_network=VNDeepSets(
+            hidden_dim=16, num_layers=4, canon_feature="pv"
+        )
+    )
+    nb = {
+        "loc": jnp.asarray(rng.normal(size=(512, 5, 3)).astype(np.float32)),
+        "vel": jnp.asarray(rng.normal(size=(512, 5, 3)).astype(np.float32)),
+        "charges": jnp.asarray(
+            rng.choice([-1.0, 1.0], size=(512, 5, 1)).astype(np.float32)
+        ),
+    }
+    nb_params = jax.jit(
+        lambda k, d: nb_canon.init(
+            k, d["loc"][:2], loc=d["loc"][:2], vel=d["vel"][:2],
+            charges=d["charges"][:2], training=False,
+        )
+    )(jax.random.key(5), nb)
+
+    def nb_step(cp, d, i):
+        out_nb = nb_canon.apply(
+            cp, d["loc"] + i * 1e-9, loc=d["loc"] + i * 1e-9, vel=d["vel"],
+            charges=d["charges"], training=False,
+        )
+        (loc_c, vel_c), _info = out_nb
+        return jnp.sum(loc_c) + jnp.sum(vel_c)
+
     out = {"kernels_bitexact": kernels_bitexact}
+    out["pointcloud_canon_ms"] = timed_ms(pc_step, pc_params, pts)
+    out["nbody_canon_ms"] = timed_ms(nb_step, nb_params, nb)
     out["opt_d8_96px_ms"] = timed_ms(opt_step, opt_params, x96)
     out["continuous_fast_ms"] = timed_ms(steer_canon(steer_fast), steer_params, x)
     out["continuous_exact_ms"] = timed_ms(steer_canon(steer_exact), steer_params, x)
@@ -354,6 +406,12 @@ def main() -> None:
                 "kernels_bitexact_on_tpu": m["kernels_bitexact"],
                 "opt_d8_orbit_canonicalize_img_s": round(
                     128.0 / m["opt_d8_96px_ms"] * 1e3, 1
+                ),
+                "pointcloud_canonicalize_clouds_s": round(
+                    64.0 / m["pointcloud_canon_ms"] * 1e3, 1
+                ),
+                "nbody_canonicalize_graphs_s": round(
+                    512.0 / m["nbody_canon_ms"] * 1e3, 1
                 ),
             }
         )
