@@ -111,11 +111,14 @@ class DatasetConfig:
 
 @dataclass(frozen=True)
 class PredictionConfig:
-    architecture: str = "resnet50"
+    architecture: str = "resnet50"  # resnet50 | resnet18 | vit
     freeze_encoder: bool = False
     pretrained: bool = False
     hidden_dim: int = 64
     num_layers: int = 4
+    # computation dtype name ("bfloat16" for the production serving mode);
+    # None keeps fp32 (params are always fp32)
+    dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

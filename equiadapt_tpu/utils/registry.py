@@ -184,8 +184,17 @@ def get_image_prediction_network(
     cfg: PredictionConfig, num_classes: int, small_images: bool
 ) -> nn.Module:
     """examples/images/classification/model_utils.py:35-82."""
+    dtype = jnp.dtype(cfg.dtype) if cfg.dtype else jnp.float32
     if cfg.architecture == "resnet50":
-        return ResNet50(num_classes=num_classes, small_images=small_images)
+        return ResNet50(
+            num_classes=num_classes, small_images=small_images, dtype=dtype
+        )
+    if cfg.architecture == "resnet18":
+        from equiadapt_tpu.models import ResNet18
+
+        return ResNet18(
+            num_classes=num_classes, small_images=small_images, dtype=dtype
+        )
     if cfg.architecture == "vit":
         return ViT(num_classes=num_classes)
     raise ValueError(f"{cfg.architecture} is not implemented as prediction network")
@@ -211,6 +220,9 @@ def get_segmentation_prediction_network(
 
     if architecture == "sam":
         return SAMLite(**kw)
+    if architecture == "sam_vit":
+        # faithful pretrained-SAM encoder path (models/sam_encoder.py)
+        return SAMLite(encoder="sam_vit", num_mask_tokens=4, **kw)
     if architecture == "maskrcnn":
         return MaskRCNNLite(num_classes=num_classes, **kw)
     raise ValueError(f"{architecture} is not implemented as a segmentation network")
