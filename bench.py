@@ -151,16 +151,21 @@ def bench_jax() -> dict:
     # shear kernel must be bit-identical to its interpret-mode reference.
     from equiadapt_tpu.ops.pallas.select_warp import _blend_ref, rotate_select
     from equiadapt_tpu.ops.pallas.shear_rotate import shear_rotate_residual
+    from equiadapt_tpu.ops.warp import rotate_select_fast
 
     xs = jnp.asarray(rng.normal(size=(8, 64, 64, 3)).astype(np.float32))
     idx8 = jnp.asarray(rng.integers(0, NUM_ROT, size=(8,)).astype(np.int32))
     sel_pallas = rotate_select(xs, idx8, NUM_ROT, -1.0, "border")
     sel_blend = _blend_ref(xs, idx8, NUM_ROT, -1.0, "border")
+    sel_fast_pallas = rotate_select(xs, idx8, NUM_ROT, -1.0, "border", "fast")
+    sel_fast_xla = rotate_select_fast(xs, idx8, NUM_ROT, -1.0, "border")
     rr = jnp.asarray(rng.uniform(-np.pi / 4, np.pi / 4, 8).astype(np.float32))
     sh_tpu = shear_rotate_residual(xs, rr, 32.0, 32.0, "border")
     sh_itp = shear_rotate_residual(xs, rr, 32.0, 32.0, "border", interpret=True)
-    kernels_bitexact = bool((sel_pallas == sel_blend).all()) and bool(
-        (sh_tpu == sh_itp).all()
+    kernels_bitexact = (
+        bool((sel_pallas == sel_blend).all())
+        and bool((sel_fast_pallas == sel_fast_xla).all())
+        and bool((sh_tpu == sh_itp).all())
     )
 
     # continuous (steerable) canonicalize: fast 3-shear kernel vs exact

@@ -31,48 +31,51 @@ Array = jnp.ndarray
 __all__ = ["pallas_rotate_select", "rotate_select"]
 
 
-def _kernel_factory(H: int, W: int):
+def _emit_rot90(plane, k, out_store, H: int, W: int, dt):
+    """Write rot90^k(plane) through `out_store` (a (H, W)-shaped ref setter).
+
+    Mosaic has no `rev` and its matmuls need 32-bit accumulators (transposed
+    bf16 operands are rejected outright), so the rot90 runs in fp32 in-VMEM
+    via exchange-matrix MXU reversals: bf16 values are held exactly in fp32
+    and the exchange matrix has a single 1 per row/col, so every step — and
+    the cast back — is lossless.
+    """
     from jax.experimental import pallas as pl
 
-    def kernel(k_ref, src_ref, out_ref):
-        b = pl.program_id(0)
-        k = k_ref[b] % 4
-        img = src_ref[0, 0, 0]  # (H, W)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
-        ex = (rows + cols == H - 1).astype(img.dtype)
+    img = plane.astype(jnp.float32)  # (H, W)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+    ex = (rows + cols == H - 1).astype(jnp.float32)
 
-        def rl(y):
-            return jax.lax.dot_general(
-                y, ex, (((1,), (0,)), ((), ())),
-                preferred_element_type=img.dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+    def rl(y):
+        return jax.lax.dot_general(
+            y, ex, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
-        def rs(y):
-            return jax.lax.dot_general(
-                ex, y, (((1,), (0,)), ((), ())),
-                preferred_element_type=img.dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+    def rs(y):
+        return jax.lax.dot_general(
+            ex, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
-        @pl.when(k == 0)
-        def _():
-            out_ref[0, 0] = img
+    @pl.when(k == 0)
+    def _():
+        out_store(img.astype(dt))
 
-        @pl.when(k == 1)
-        def _():
-            out_ref[0, 0] = rs(img.T)
+    @pl.when(k == 1)
+    def _():
+        out_store(rs(img.T).astype(dt))
 
-        @pl.when(k == 2)
-        def _():
-            out_ref[0, 0] = rs(rl(img))
+    @pl.when(k == 2)
+    def _():
+        out_store(rs(rl(img)).astype(dt))
 
-        @pl.when(k == 3)
-        def _():
-            out_ref[0, 0] = rl(img.T)
-
-    return kernel
+    @pl.when(k == 3)
+    def _():
+        out_store(rl(img.T).astype(dt))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -96,8 +99,12 @@ def _pallas_select(sources: Array, src_idx: Array, k_idx: Array, interpret: bool
     )
 
     def kernel(src_ref, k_ref, in_ref, out_ref):
-        base = _kernel_factory(H, W)
-        base(k_ref, in_ref, out_ref)
+        b = pl.program_id(0)
+
+        def store(v):
+            out_ref[0, 0] = v
+
+        _emit_rot90(in_ref[0, 0, 0], k_ref[b] % 4, store, H, W, in_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -107,6 +114,57 @@ def _pallas_select(sources: Array, src_idx: Array, k_idx: Array, interpret: bool
     )(src_idx.astype(jnp.int32), k_idx.astype(jnp.int32), sources)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_select2(
+    xn: Array, yn: Array, src_idx: Array, k_idx: Array, interpret: bool = False
+) -> Array:
+    """Two-source select: per sample pick plane (b, c) from `xn` (src 0) or
+    `yn` (src 1), both (B, C, H, W), and rot90 it by k_idx[b].
+
+    Unlike `_pallas_select`, the two sources stay separate arrays — no
+    stacked copy is materialized (jnp.stack costs 4 extra HBM round trips of
+    the batch at the XLA level, which dominated the kernel's own traffic).
+    Both planes are DMA'd per grid step; the select happens in VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, C, H, W = xn.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # src_idx, k_idx
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, C, H, W), lambda b, src_ref, k_ref: (b, 0, 0, 0)),
+            pl.BlockSpec((1, C, H, W), lambda b, src_ref, k_ref: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, H, W), lambda b, src_ref, k_ref: (b, 0, 0, 0)
+        ),
+    )
+
+    def kernel(src_ref, k_ref, x_ref, y_ref, out_ref):
+        b = pl.program_id(0)
+        take_y = src_ref[b] == 1
+        k = k_ref[b] % 4
+        # whole-image blocks (one DMA per sample, not per plane) with a
+        # static channel loop: amortizes DMA-issue latency C-fold vs a
+        # (B, C) grid while keeping each matmul a plain (H, W) 2-D op
+        for c in range(C):
+            plane = jnp.where(take_y, y_ref[0, c], x_ref[0, c])
+
+            def store(v, c=c):
+                out_ref[0, c] = v
+
+            _emit_rot90(plane, k, store, H, W, x_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), xn.dtype),
+        interpret=interpret,
+    )(src_idx.astype(jnp.int32), k_idx.astype(jnp.int32), xn, yn)
+
+
 def pallas_rotate_select(
     x: Array,
     idx: Array,
@@ -114,11 +172,17 @@ def pallas_rotate_select(
     sign: float = -1.0,
     padding_mode: str = "border",
     interpret: bool = False,
+    mode: str = "exact",
 ) -> Array:
     """Single-pass select: out[b] = rotate(x[b], sign * theta_{idx[b]}).
 
     Supports num_rotations in {1, 2, 4, 8} on square NHWC images. Matches
-    `rotate_discrete` with the hard one-hot of `idx` exactly.
+    `rotate_discrete` with the hard one-hot of `idx` exactly: mode="exact"
+    builds the C8 45-degree source plane with the static-tap warp (torch
+    parity), mode="fast" with the two-pass MXU warp (`rotate_twopass`) —
+    bit-identical to `rotate_select_fast` but ~2x less HBM traffic (the
+    steered BlockSpec reads ONE candidate plane per sample instead of
+    blending all of them; see docs/benchmarking.md round-2 notes).
     """
     from equiadapt_tpu.ops.warp import _static_rotate
 
@@ -126,16 +190,24 @@ def pallas_rotate_select(
     assert H == W, "select kernel needs square images"
     assert num_rotations in (1, 2, 4, 8), num_rotations
 
-    step = num_rotations  # elements
     s = jnp.int32(1 if sign > 0 else -1)
     m = jnp.mod(s * idx.astype(jnp.int32), num_rotations)
     if num_rotations == 8:
+        src_idx = m % 2
+        k_idx = m // 2
+        if mode == "fast":
+            # two-source kernel: the 45-degree plane comes straight out of
+            # the second twopass GEMM in NCHW; no stacked copy
+            from equiadapt_tpu.ops.warp import rotate_twopass_nchw
+
+            xn = jnp.moveaxis(x, -1, 1)
+            yn = rotate_twopass_nchw(x, 45.0, padding_mode)
+            out = _pallas_select2(xn, yn, src_idx, k_idx, interpret=interpret)
+            return jnp.moveaxis(out, 1, -1)
         x45 = _static_rotate(x, 45.0, padding_mode)
         sources = jnp.stack(
             [jnp.moveaxis(x, -1, 1), jnp.moveaxis(x45, -1, 1)], axis=0
         )  # (2, B, C, H, W)
-        src_idx = m % 2
-        k_idx = m // 2
     else:
         sources = jnp.moveaxis(x, -1, 1)[None]  # (1, B, C, H, W)
         src_idx = jnp.zeros_like(m)
@@ -152,15 +224,25 @@ def _blend_ref(x: Array, idx: Array, num_rotations: int, sign: float, padding_mo
 
 
 def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode, mode):
-    if mode == "fast":
-        from equiadapt_tpu.ops.warp import rotate_select_fast
-
-        return rotate_select_fast(x, idx, num_rotations, sign, padding_mode)
-    if (
+    on_tpu_square = (
         jax.default_backend() == "tpu"
         and x.shape[1] == x.shape[2]
         and num_rotations in (1, 2, 4, 8)
-    ):
+    )
+    if mode == "fast":
+        # crossover (measured, docs/benchmarking.md): the steered kernel's
+        # fixed cost (NCHW brackets + per-sample DMA) amortizes over the
+        # channel dim, so wide regular-rep feature maps (the invert path,
+        # C = fields * |G|) go through pallas while thin RGB canonicalize
+        # warps stay on the XLA blend path
+        if on_tpu_square and x.shape[-1] >= 8:
+            return pallas_rotate_select(
+                x, idx, num_rotations, sign, padding_mode, mode="fast"
+            )
+        from equiadapt_tpu.ops.warp import rotate_select_fast
+
+        return rotate_select_fast(x, idx, num_rotations, sign, padding_mode)
+    if on_tpu_square:
         return pallas_rotate_select(x, idx, num_rotations, sign, padding_mode)
     return _blend_ref(x, idx, num_rotations, sign, padding_mode)
 

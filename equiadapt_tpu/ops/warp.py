@@ -283,6 +283,31 @@ def _twopass_matrices(H: int, W: int, angle_deg: float, padding_mode: str, dtype
     return M1, M2
 
 
+def rotate_twopass_nchw(
+    x: Array, angle_deg: float, padding_mode: str = "border"
+) -> Array:
+    """`rotate_twopass` emitting (B, C, H, W) directly: the layout change
+    rides the second GEMM's output epilogue instead of a separate transpose
+    (feeds the NCHW pallas select kernel, ops/pallas/select_warp.py)."""
+    B, H, W, C = x.shape
+    ang = float(angle_deg) % 360.0
+    k = int(round(ang / 90.0))
+    r = ang - 90.0 * k  # [-45, 45]
+    k %= 4
+    if H != W:
+        raise ValueError("rotate_twopass_nchw requires square images")
+    if abs(r) < 1e-9:
+        out = jnp.rot90(x, k=k, axes=(1, 2)) if k else x
+        return jnp.moveaxis(out, -1, 1)
+    dt = x.dtype
+    M1, M2 = _twopass_matrices(H, W, r, padding_mode, dt)
+    V = jnp.einsum("yhw,bhwc->bywc", M1, x, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "ywx,bywc->bcyx", M2, V.astype(dt), preferred_element_type=jnp.float32
+    ).astype(dt)
+    return jnp.rot90(out, k=k, axes=(2, 3)) if k else out
+
+
 def rotate_twopass(x: Array, angle_deg: float, padding_mode: str = "border") -> Array:
     """Whole-batch rotation by a *static* angle as two batched MXU GEMMs.
 

@@ -26,6 +26,33 @@ def test_select_matches_blend(n, sign):
     np.testing.assert_allclose(np.asarray(sel), np.asarray(blend), atol=1e-5)
 
 
+@pytest.mark.parametrize("sign", [-1.0, 1.0])
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+def test_select2_fast_matches_xla_fast_path(sign, padding):
+    """The two-source C8 fast kernel (no stacked copy) must be bit-identical
+    to rotate_select_fast — same twopass-45 source, same exact rot90s."""
+    from equiadapt_tpu.ops.warp import rotate_select_fast
+
+    x = _x(b=8)
+    idx = jnp.arange(8)
+    sel = pallas_rotate_select(x, idx, 8, sign=sign, padding_mode=padding,
+                               interpret=True, mode="fast")
+    ref = rotate_select_fast(x, idx, 8, sign=sign, padding_mode=padding)
+    assert bool((sel == ref).all())
+
+
+def test_select2_fast_wide_fiber_channels():
+    """Invert-path shape: regular-rep feature maps have C = fields * |G|."""
+    from equiadapt_tpu.ops.warp import rotate_select_fast
+
+    x = _x(b=4, h=16, c=16)
+    idx = jnp.asarray([0, 3, 5, 7])
+    sel = pallas_rotate_select(x, idx, 8, sign=1.0, padding_mode="zeros",
+                               interpret=True, mode="fast")
+    ref = rotate_select_fast(x, idx, 8, sign=1.0, padding_mode="zeros")
+    assert bool((sel == ref).all())
+
+
 def test_rotate_select_dispatch_fallback_cpu():
     # on CPU the wrapper falls back to the blend path
     x = _x()
