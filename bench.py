@@ -283,14 +283,28 @@ def bench_jax() -> dict:
     out["tput_exact_ms"] = timed_ms(
         canon_invert(canon_exact, "exact", None), canon_params, x, y
     )
-    out["bare_fp32_ms"] = timed_ms(bare(resnet_f32), res_params, x)
-    out["wrapped_fp32_exact_ms"] = timed_ms(
-        wrapped(canon_exact, resnet_f32), canon_params, res_params, x
-    )
-    out["bare_bf16_ms"] = timed_ms(bare(resnet_bf16), res_params_bf16, x)
-    out["wrapped_bf16_fast_ms"] = timed_ms(
-        wrapped(canon_fast, resnet_bf16), canon_params, res_params_bf16, x
-    )
+    # The wrapper-overhead numbers are DIFFERENCES of ~10x-larger timings,
+    # so tunnel/host jitter dominates a single pass: interleave bare and
+    # wrapped twice and take per-variant minima (docs/benchmarking.md).
+    runs: dict = {}
+    for _ in range(2):
+        for key, fn, args in [
+            ("bare_fp32_ms", bare(resnet_f32), (res_params, x)),
+            (
+                "wrapped_fp32_exact_ms",
+                wrapped(canon_exact, resnet_f32),
+                (canon_params, res_params, x),
+            ),
+            ("bare_bf16_ms", bare(resnet_bf16), (res_params_bf16, x)),
+            (
+                "wrapped_bf16_fast_ms",
+                wrapped(canon_fast, resnet_bf16),
+                (canon_params, res_params_bf16, x),
+            ),
+        ]:
+            t = timed_ms(fn, *args)
+            runs[key] = min(runs.get(key, t), t)
+    out.update(runs)
     out["tput_fast_img_s"] = BATCH_TPU / out["tput_fast_ms"] * 1e3
     out["tput_exact_img_s"] = BATCH_TPU / out["tput_exact_ms"] * 1e3
     out["overhead_bf16_fast_pct"] = 100.0 * (

@@ -1,5 +1,6 @@
 from equiadapt_tpu.parallel.mesh import (
     data_parallel_jit,
+    init_distributed,
     make_mesh,
     replicate,
     shard_batch,
@@ -13,6 +14,7 @@ from equiadapt_tpu.parallel.fsdp import (
 
 __all__ = [
     "data_parallel_jit",
+    "init_distributed",
     "make_mesh",
     "replicate",
     "shard_batch",

@@ -10,6 +10,7 @@ gradient all-reduce (psum) over ICI. Multi-host extends the same mesh via
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -17,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "shard_batch",
     "replicate",
@@ -24,8 +26,44 @@ __all__ = [
 ]
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join a multi-host run (the reference's `num_nodes` DDP analog,
+    train_utils.py:83-92) — DCN process group + the global device view.
+
+    Arguments fall back to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a TPU
+    pod's automatic metadata when none are set). No-op in single-process
+    runs with no coordinator configured. Must be called before any backend
+    touch. Returns `jax.process_count()` after initialization.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    if num_processes is None and env_np is not None:
+        num_processes = int(env_np)
+    if process_id is None and env_pid is not None:
+        process_id = int(env_pid)
+    if coordinator_address is None and num_processes is None:
+        return jax.process_count()  # single host, nothing to join
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
+
+
 def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first `num_devices` devices."""
+    """1-D data-parallel mesh over the first `num_devices` devices.
+
+    In multi-host runs `jax.devices()` is the *global* device list (after
+    `init_distributed`), so the same call builds the cross-host mesh."""
     devs = jax.devices()
     if num_devices is not None:
         devs = devs[:num_devices]
@@ -33,8 +71,22 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mes
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Place a host batch on the mesh, sharded along the leading axis."""
+    """Place a batch on the mesh, sharded along the leading axis.
+
+    Single-host: a plain sharded device_put. Multi-host: each process passes
+    its *local* shard of the batch (local_batch = global_batch /
+    process_count) and the global array is assembled from per-process data —
+    the jax analog of DDP's per-rank loaders (reference
+    train_utils.py:83-92 + Lightning's DistributedSampler).
+    """
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 
 from equiadapt_tpu.data import synthetic_image_batch
-from equiadapt_tpu.parallel import data_parallel_jit, make_mesh, replicate, shard_batch
+from equiadapt_tpu.parallel import (
+    data_parallel_jit,
+    init_distributed,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from equiadapt_tpu.pipelines import (
     ImageClassifierPipeline,
     create_train_state,
@@ -83,6 +89,11 @@ def main(argv) -> None:
         cfg = restore_config(cfg.checkpoint.checkpoint_path).override(
             "experiment.run_mode=test"
         )
+    if cfg.experiment.num_nodes > 1:
+        # multi-host DP: join the DCN process group before any backend touch
+        # (coordinator/process id from JAX_COORDINATOR_ADDRESS etc.) — the
+        # reference's Trainer(num_nodes=...) analog (train_utils.py:83-92)
+        init_distributed()
     jax.config.update("jax_default_prng_impl", "threefry2x32")
     rng = jax.random.key(cfg.experiment.seed)
 
