@@ -27,6 +27,7 @@ __all__ = [
     "restore_config",
     "load_prediction_params_from",
     "best_metric_saver",
+    "AsyncTrainCheckpointer",
 ]
 
 
@@ -101,6 +102,66 @@ def load_prediction_params_from(path: str, state: Any, subtree: str = "predictio
     new_params = dict(state.params)
     new_params[subtree] = donor
     return state.replace(params=type(state.params)(new_params))
+
+
+class AsyncTrainCheckpointer:
+    """Step-indexed async checkpointing with restart-from-latest.
+
+    SURVEY.md §5 failure-recovery surface: saves happen in a background
+    thread (training continues while the previous step serializes — Orbax
+    CheckpointManager with async enabled), old steps are garbage-collected
+    to `max_to_keep`, and `restore_latest` resumes an interrupted run from
+    the newest complete step (Lightning's crash-resume analog; the config
+    snapshot travels with the directory like `save_checkpoint`).
+    """
+
+    def __init__(self, path: str, max_to_keep: int = 3,
+                 config: Optional[Config] = None):
+        self.path = os.path.abspath(path)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, enable_async_checkpointing=True
+        )
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(self.path, "steps"), options=options
+        )
+        if config is not None:
+            os.makedirs(self.path, exist_ok=True)
+            with open(_config_path(self.path), "w") as f:
+                json.dump(config.to_dict(), f, indent=2)
+
+    @staticmethod
+    def _tree(state: Any) -> dict:
+        return {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step}
+
+    def save(self, step: int, state: Any) -> None:
+        """Enqueue an async save of `state` at `step` (returns immediately)."""
+        self._mgr.save(int(step), args=ocp.args.StandardSave(self._tree(state)))
+
+    def restore_latest(self, state: Any) -> tuple[Any, Optional[int]]:
+        """(state, step) from the newest complete checkpoint, or
+        (state, None) if the directory holds none — call at startup to make
+        every run restartable."""
+        latest = self._mgr.latest_step()
+        if latest is None:
+            return state, None
+        restored = self._mgr.restore(
+            latest, args=ocp.args.StandardRestore(self._tree(state))
+        )
+        return (
+            state.replace(
+                params=restored["params"], batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"], step=restored["step"],
+            ),
+            latest,
+        )
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
 
 
 class best_metric_saver:

@@ -127,6 +127,10 @@ class CheckpointConfig:
     checkpoint_name: str = ""
     save_canonized_images: bool = False
     strict_loading: bool = True
+    # resume an interrupted run from the newest step under checkpoint_path
+    # (async step-indexed saves via AsyncTrainCheckpointer); the crash-resume
+    # analog of Lightning's ckpt_path="last"
+    resume: bool = False
 
 
 @dataclass(frozen=True)

@@ -182,6 +182,20 @@ def main(argv) -> None:
         else None
     )
     stopper = EarlyStopping(patience=10)
+    resumer = None
+    start_epoch = 0
+    if cfg.checkpoint.resume and cfg.checkpoint.checkpoint_path:
+        # crash-resume: async step-indexed saves + restart-from-latest
+        # (Lightning ckpt_path="last" analog; SURVEY §5 failure recovery)
+        from equiadapt_tpu.utils.checkpoint import AsyncTrainCheckpointer
+
+        resumer = AsyncTrainCheckpointer(
+            cfg.checkpoint.checkpoint_path, config=cfg
+        )
+        state, latest = resumer.restore_latest(state)
+        if latest is not None:
+            start_epoch = latest + 1
+            print(f"resumed from epoch {latest}")
     steps_per_epoch = 20 if cfg.dataset.dataset_name == "synthetic" else 400
     if cfg.experiment.profile:
         # capture a device trace of the first steps; named scopes label the
@@ -194,7 +208,7 @@ def main(argv) -> None:
                 state, m = step(state, shard_batch(b, mesh), rng)
             jax.block_until_ready(m["loss/total"])
         print(f"profile trace written to {cfg.experiment.profile_dir}")
-    for epoch in range(cfg.experiment.num_epochs):
+    for epoch in range(start_epoch, cfg.experiment.num_epochs):
         for batch in get_batches(cfg, jax.random.fold_in(rng, epoch), steps_per_epoch):
             state, metrics = step(state, shard_batch(batch, mesh), rng)
             assert_finite_loss(metrics)
@@ -206,9 +220,13 @@ def main(argv) -> None:
         print(f"epoch {epoch}: {means} val/acc={acc:.4f}")
         if saver is not None:
             saver.maybe_save(acc, state, cfg)
+        if resumer is not None:
+            resumer.save(epoch, state)  # async; training continues
         if stopper.update(acc):
             print("early stopping")
             break
+    if resumer is not None:
+        resumer.close()
 
 
 if __name__ == "__main__":

@@ -53,7 +53,9 @@ def main(argv) -> None:
     state = create_pointcloud_state(pipe, rng, (sample["points"],), tx)
     step = make_pointcloud_train_step(num_classes=nc, train_rotation="z")
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="mode_z")
     def eval_step(state, points, label, rot_rng, mode_z: bool):
         pts = random_rotate(rot_rng, points, "z" if mode_z else "so3")
         variables = {"params": state.params}
@@ -77,7 +79,7 @@ def main(argv) -> None:
                                          num_points=cfg.dataset.num_points,
                                          num_classes=nc)
         vm = eval_step(state, val["points"], val["label"],
-                       jax.random.fold_in(rng, epoch), True)
+                       jax.random.fold_in(rng, epoch), mode_z=True)
         print(f"epoch {epoch}: {logger.flush(epoch)} "
               f"val z-rot acc={float(vm['metric/acc']):.4f}")
 

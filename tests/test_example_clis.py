@@ -1,0 +1,116 @@
+"""Smoke-drive every example CLI in-process on synthetic data.
+
+The reference's examples are its primary user surface (SURVEY.md L3/L4);
+these tests call each `main(argv)` with tiny dotted overrides the way a
+user would from the shell, so config parsing, registry wiring, the train
+loop, checkpointing flags, and the final metric printout all execute.
+Marked slow where a full pipeline compiles several programs.
+"""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(relpath, name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+TINY_IMAGE = [
+    "dataset.dataset_name=synthetic",
+    "dataset.image_size=16",
+    "dataset.num_classes=4",
+    "experiment.num_epochs=1",
+    "experiment.batch_size=8",
+    "canonicalization.resize_shape=8",
+    "canonicalization.network_hyperparams.out_channels=4",
+    "canonicalization.network_hyperparams.num_layers=1",
+    "prediction.architecture=resnet18",
+]
+
+
+def test_classification_cli_train(tmp_path, capsys):
+    mod = _load("examples/images/classification/train.py", "cli_cls")
+    mod.main(TINY_IMAGE + [f"checkpoint.checkpoint_path={tmp_path}/ck"])
+    out = capsys.readouterr().out
+    assert "loss" in out or "acc" in out
+    assert os.path.exists(tmp_path / "ck" / "config.json")
+
+
+@pytest.mark.slow
+def test_classification_cli_test_mode_restores_config(tmp_path, capsys):
+    mod = _load("examples/images/classification/train.py", "cli_cls2")
+    ck = f"{tmp_path}/ck"
+    mod.main(TINY_IMAGE + [f"checkpoint.checkpoint_path={ck}"])
+    capsys.readouterr()
+    mod.main([
+        "experiment.run_mode=test",
+        f"checkpoint.checkpoint_path={ck}",
+    ])
+    out = capsys.readouterr().out
+    assert "test/acc" in out
+
+
+@pytest.mark.slow
+def test_classification_cli_crash_resume(tmp_path, capsys):
+    """checkpoint.resume=true restarts from the newest async step."""
+    mod = _load("examples/images/classification/train.py", "cli_cls3")
+    ck = f"{tmp_path}/ck"
+    args = TINY_IMAGE + [
+        f"checkpoint.checkpoint_path={ck}",
+        "checkpoint.resume=true",
+    ]
+    mod.main(args + ["experiment.num_epochs=1"])
+    capsys.readouterr()
+    mod.main(args + ["experiment.num_epochs=2"])
+    out = capsys.readouterr().out
+    assert "resumed from epoch 0" in out
+    assert "epoch 1:" in out and "epoch 0:" not in out
+
+
+@pytest.mark.slow
+def test_segmentation_cli(capsys):
+    mod = _load("examples/images/segmentation/train.py", "cli_seg")
+    mod.main([
+        "experiment.num_epochs=1",
+        "dataset.image_size=32",
+        "canonicalization.resize_shape=16",
+        "canonicalization.network_hyperparams.out_channels=4",
+        "canonicalization.network_hyperparams.num_layers=1",
+    ])
+    assert "map" in capsys.readouterr().out.lower()
+
+
+def test_nbody_cli(capsys):
+    mod = _load("examples/nbody/train.py", "cli_nbody")
+    mod.main(["experiment.num_epochs=1", "experiment.batch_size=8"])
+    assert "loss" in capsys.readouterr().out.lower()
+
+
+@pytest.mark.slow
+def test_pointcloud_classification_cli(capsys):
+    mod = _load("examples/pointcloud/classification/train.py", "cli_pc")
+    mod.main([
+        "experiment.num_epochs=1",
+        "experiment.batch_size=8",
+        "dataset.num_points=64",
+        "prediction.architecture=pointnet",
+    ])
+    assert "acc" in capsys.readouterr().out.lower()
+
+
+@pytest.mark.slow
+def test_pointcloud_partseg_cli(capsys):
+    mod = _load("examples/pointcloud/part_segmentation/train.py", "cli_ps")
+    mod.main(["experiment.num_epochs=1"])
+    assert "iou" in capsys.readouterr().out.lower()

@@ -117,6 +117,36 @@ def test_checkpoint_save_restore_and_config(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_async_checkpointer_restart_from_latest(tmp_path):
+    from equiadapt_tpu.utils.checkpoint import AsyncTrainCheckpointer
+
+    pipe, state, batch = _tiny_state()
+    cfg = Config().override("experiment.seed=7")
+    mgr = AsyncTrainCheckpointer(str(tmp_path / "run"), max_to_keep=2, config=cfg)
+
+    # fresh dir -> no checkpoint yet
+    _, none_step = mgr.restore_latest(state)
+    assert none_step is None
+
+    step = make_train_step({"prior_weight": 1.0})
+    mgr.save(0, state)
+    state1, _ = step(state, batch, jax.random.key(1))
+    state1 = state1.replace(step=state1.step)  # keep treedef
+    mgr.save(1, state1)
+    mgr.wait()
+
+    _, fresh, _ = _tiny_state()
+    restored, latest = mgr.restore_latest(fresh)
+    assert latest == 1
+    a = jax.tree_util.tree_leaves(state1.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # config snapshot travels with the run dir
+    assert restore_config(str(tmp_path / "run")).experiment.seed == 7
+    mgr.close()
+
+
 def test_best_metric_saver(tmp_path):
     _, state, _ = _tiny_state()
     saver = best_metric_saver(str(tmp_path / "best"), mode="max")
