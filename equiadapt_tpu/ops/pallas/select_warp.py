@@ -46,19 +46,29 @@ def _emit_rot90(plane, k, out_store, H: int, W: int, dt):
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
     ex = (rows + cols == H - 1).astype(jnp.float32)
+    # Precision by payload dtype: bf16-valued data survives single-pass
+    # bf16 MXU exactly (operand truncation is the identity on bf16 values,
+    # and each output is a single product), so DEFAULT is both exact and
+    # ~6x faster than the multi-pass fp32 mode; true fp32 payloads need
+    # HIGHEST to keep the copy bit-exact.
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if dt == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
 
     def rl(y):
         return jax.lax.dot_general(
             y, ex, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
 
     def rs(y):
         return jax.lax.dot_general(
             ex, y, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
 
     @pl.when(k == 0)
@@ -130,15 +140,25 @@ def _pallas_select2(
     from jax.experimental.pallas import tpu as pltpu
 
     B, C, H, W = xn.shape
+    # Block sizing: a few channel planes per grid step. Whole-image blocks
+    # at wide fibers (C=16 regular reps) push ~10 MB of block buffers into
+    # VMEM, defeating double-buffering and serializing the DMAs (measured
+    # ~31 us/sample at C=16); per-plane blocks pay DMA-issue latency on
+    # B*C tiny steps instead. 2-4 planes per step keeps both in check.
+    bc = 1
+    for cand in (4, 2, 1):
+        if C % cand == 0:
+            bc = cand
+            break
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # src_idx, k_idx
-        grid=(B,),
+        grid=(B, C // bc),
         in_specs=[
-            pl.BlockSpec((1, C, H, W), lambda b, src_ref, k_ref: (b, 0, 0, 0)),
-            pl.BlockSpec((1, C, H, W), lambda b, src_ref, k_ref: (b, 0, 0, 0)),
+            pl.BlockSpec((1, bc, H, W), lambda b, c, src_ref, k_ref: (b, c, 0, 0)),
+            pl.BlockSpec((1, bc, H, W), lambda b, c, src_ref, k_ref: (b, c, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, C, H, W), lambda b, src_ref, k_ref: (b, 0, 0, 0)
+            (1, bc, H, W), lambda b, c, src_ref, k_ref: (b, c, 0, 0)
         ),
     )
 
@@ -146,10 +166,7 @@ def _pallas_select2(
         b = pl.program_id(0)
         take_y = src_ref[b] == 1
         k = k_ref[b] % 4
-        # whole-image blocks (one DMA per sample, not per plane) with a
-        # static channel loop: amortizes DMA-issue latency C-fold vs a
-        # (B, C) grid while keeping each matmul a plain (H, W) 2-D op
-        for c in range(C):
+        for c in range(bc):
             plane = jnp.where(take_y, y_ref[0, c], x_ref[0, c])
 
             def store(v, c=c):
