@@ -62,6 +62,11 @@ class ImageClassifierPipeline(nn.Module):
     def invert(self, info, y, **kw):
         return self.canonicalizer.invert_canonicalization(info, y, **kw)
 
+    def canonicalize(self, x: Array, training: bool = False):
+        """(x_canon, info) without the prediction pass — for visualization
+        (checkpoint.save_canonized_images) and canonicalizer-only eval."""
+        return self.canonicalizer(x, training=training)
+
 
 class TrainState(struct.PyTreeNode):
     """Minimal train state: params + batch stats + optimizer state."""

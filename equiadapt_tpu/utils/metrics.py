@@ -17,7 +17,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-__all__ = ["MetricLogger", "EarlyStopping"]
+__all__ = ["MetricLogger", "EarlyStopping", "assert_finite_loss", "save_canonized_images"]
 
 
 class MetricLogger:
@@ -99,3 +99,33 @@ def assert_finite_loss(metrics) -> None:
 
     if not bool(np.all(np.asarray(flag) > 0.5)):
         raise FloatingPointError(f"Loss is NaN/Inf: {metrics}")
+
+
+def save_canonized_images(path: str, originals, canonized, max_images: int = 8) -> str:
+    """Write an (original | canonicalized) side-by-side PNG grid.
+
+    Implements checkpoint.save_canonized_images for real: the reference
+    declares the flag (configs/checkpoint/default.yaml:3) but never
+    consumes it anywhere in its code. Images are min-max normalized per
+    panel; NHWC float arrays (grayscale or RGB).
+    """
+    import numpy as np
+    from PIL import Image
+
+    def norm(a):
+        a = np.asarray(a, np.float32)
+        lo, hi = a.min(), a.max()
+        a = (a - lo) / (hi - lo + 1e-8)
+        return (a * 255).astype(np.uint8)
+
+    n = min(max_images, np.shape(originals)[0])
+    rows = []
+    for i in range(n):
+        o, c = norm(originals[i]), norm(canonized[i])
+        if o.shape[-1] == 1:
+            o, c = o[..., 0], c[..., 0]
+        rows.append(np.concatenate([o, np.full_like(o[:, :2], 255), c], axis=1))
+    grid = np.concatenate(rows, axis=0)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(grid).save(path)
+    return path

@@ -215,6 +215,20 @@ def main(argv) -> None:
             logger.update(metrics)
         val = next(get_batches(cfg, jax.random.fold_in(rng, 10_000 + epoch), 1))
         vm = eval_step(state, val)
+        if cfg.checkpoint.save_canonized_images and cfg.checkpoint.checkpoint_path:
+            from equiadapt_tpu.utils.metrics import save_canonized_images
+
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            x_c, _ = pipeline.apply(
+                variables, val["image"][:8], training=False,
+                method=pipeline.canonicalize,
+            )
+            save_canonized_images(
+                f"{cfg.checkpoint.checkpoint_path}/canonized_epoch{epoch}.png",
+                val["image"][:8], x_c,
+            )
         means = logger.flush(epoch, prefix="train/")
         acc = float(vm["metric/acc"])
         print(f"epoch {epoch}: {means} val/acc={acc:.4f}")

@@ -41,10 +41,14 @@ TINY_IMAGE = [
 
 def test_classification_cli_train(tmp_path, capsys):
     mod = _load("examples/images/classification/train.py", "cli_cls")
-    mod.main(TINY_IMAGE + [f"checkpoint.checkpoint_path={tmp_path}/ck"])
+    mod.main(TINY_IMAGE + [
+        f"checkpoint.checkpoint_path={tmp_path}/ck",
+        "checkpoint.save_canonized_images=true",
+    ])
     out = capsys.readouterr().out
     assert "loss" in out or "acc" in out
     assert os.path.exists(tmp_path / "ck" / "config.json")
+    assert os.path.exists(tmp_path / "ck" / "canonized_epoch0.png")
 
 
 @pytest.mark.slow
