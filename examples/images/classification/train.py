@@ -140,6 +140,18 @@ def main(argv) -> None:
         print({k: float(jnp.mean(v)) for k, v in metrics.items()})
         return
 
+    if cfg.experiment.run_mode == "dryrun":
+        # Lightning fast_dev_run analog (reference train_utils.py:78-81):
+        # one train step + one eval batch, no checkpointing, then exit
+        batch = next(get_batches(cfg, rng, 1))
+        state, tm = step(state, shard_batch(batch, mesh), rng)
+        vm = eval_step(state, batch)
+        print(
+            f"dryrun ok: train loss={float(tm['loss/total']):.4f} "
+            f"eval loss={float(vm['loss/total']):.4f}"
+        )
+        return
+
     if cfg.experiment.run_mode == "auto_tune":
         # TPU-native trainer.tune: LR range test before training
         # (reference train.py:105-106 -> Lightning trainer.tune)

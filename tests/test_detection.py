@@ -66,6 +66,7 @@ def test_inference_mode_uses_predicted_boxes():
     assert np.all(np.diff(s, axis=-1) <= 1e-6)  # top-k ordering
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     m = MaskRCNNLite(num_classes=5, max_instances=4, channels=32)
     b = _batch()

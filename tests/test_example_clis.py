@@ -39,6 +39,7 @@ TINY_IMAGE = [
 ]
 
 
+@pytest.mark.slow
 def test_classification_cli_train(tmp_path, capsys):
     mod = _load("examples/images/classification/train.py", "cli_cls")
     mod.main(TINY_IMAGE + [
@@ -93,6 +94,13 @@ def test_segmentation_cli(capsys):
         "canonicalization.network_hyperparams.num_layers=1",
     ])
     assert "map" in capsys.readouterr().out.lower()
+
+
+def test_classification_cli_dryrun(capsys):
+    """run_mode=dryrun: one train step + one eval batch, then exit."""
+    mod = _load("examples/images/classification/train.py", "cli_dry")
+    mod.main(TINY_IMAGE + ["experiment.run_mode=dryrun"])
+    assert "dryrun ok" in capsys.readouterr().out
 
 
 def test_nbody_cli(capsys):

@@ -82,6 +82,7 @@ def _image_pipeline(canonicalization_type="group_equivariant", network_type="e2c
     return ImageClassifierPipeline(canonicalizer=canon, prediction_network=pred)
 
 
+@pytest.mark.slow
 def test_image_classification_loss_decreases():
     pipe = _image_pipeline()
     batch = synthetic_image_batch(KEY, 16, size=16)
