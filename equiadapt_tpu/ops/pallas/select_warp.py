@@ -182,6 +182,110 @@ def _pallas_select2(
     )(src_idx.astype(jnp.int32), k_idx.astype(jnp.int32), xn, yn)
 
 
+@functools.partial(jax.jit, static_argnames=("num_group", "interpret"))
+def _pallas_select2_rolled(
+    xn: Array,
+    yn: Array,
+    src_idx: Array,
+    k_idx: Array,
+    shift: Array,
+    num_group: int,
+    interpret: bool = False,
+) -> Array:
+    """`_pallas_select2` with the regular-rep fiber roll fused in.
+
+    The invert engine's channel roll (roll_by_gather: output fiber g reads
+    input fiber (g - shift[b]) mod G) is a per-sample channel permutation,
+    and it commutes with the spatial rot90 — so it costs nothing here: each
+    output plane simply reads its rolled source plane out of the
+    already-DMA'd (1, G, H, W) field block (dynamic index on the untiled
+    channel dim). Replaces a separate one-hot-matmul roll pass over the
+    full feature map (~2 HBM round trips + MXU work at C=16/224px).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, C, H, W = xn.shape
+    G = num_group
+    assert C % G == 0, (C, G)
+    F = C // G
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # src_idx, k_idx, shift
+        grid=(B, F),
+        in_specs=[
+            pl.BlockSpec((1, G, H, W), lambda b, f, s_, k_, sh_: (b, f, 0, 0)),
+            pl.BlockSpec((1, G, H, W), lambda b, f, s_, k_, sh_: (b, f, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, G, H, W), lambda b, f, s_, k_, sh_: (b, f, 0, 0)
+        ),
+    )
+
+    def kernel(src_ref, k_ref, sh_ref, x_ref, y_ref, out_ref):
+        b = pl.program_id(0)
+        take_y = src_ref[b] == 1
+        k = k_ref[b] % 4
+        s = sh_ref[b] % G
+        for g in range(G):
+            c_in = jax.lax.rem(jnp.int32(g) - s + G, G)
+            plane = jnp.where(take_y, y_ref[0, c_in], x_ref[0, c_in])
+
+            def store(v, g=g):
+                out_ref[0, g] = v
+
+            _emit_rot90(plane, k, store, H, W, x_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), xn.dtype),
+        interpret=interpret,
+    )(
+        src_idx.astype(jnp.int32),
+        k_idx.astype(jnp.int32),
+        shift.astype(jnp.int32),
+        xn,
+        yn,
+    )
+
+
+def rotate_roll_select(
+    x: Array,
+    idx: Array,
+    shift: Array,
+    num_rotations: int,
+    sign: float = 1.0,
+    padding_mode: str = "zeros",
+    interpret: bool = False,
+) -> Array:
+    """Fused fast-mode invert: spatial rotate-select + regular-rep fiber
+    roll in one pallas pass. Bit-identical to
+    `rotate_select(..., mode="fast")` followed by `roll_by_gather`
+    (pure permutations compose exactly; asserted in tests and on hardware
+    by bench.py). Rotation-only groups, square images, hard selection.
+    """
+    from equiadapt_tpu.ops.warp import rotate_twopass_nchw
+
+    B, H, W, C = x.shape
+    assert H == W and num_rotations in (1, 2, 4, 8)
+    s = jnp.int32(1 if sign > 0 else -1)
+    m = jnp.mod(s * idx.astype(jnp.int32), num_rotations)
+    if num_rotations == 8:
+        src_idx = m % 2
+        k_idx = m // 2
+        xn = jnp.moveaxis(x, -1, 1)
+        yn = rotate_twopass_nchw(x, 45.0, padding_mode)
+    else:
+        src_idx = jnp.zeros_like(m)
+        k_idx = m * (4 // num_rotations)
+        xn = jnp.moveaxis(x, -1, 1)
+        yn = xn
+    out = _pallas_select2_rolled(
+        xn, yn, src_idx, k_idx, shift, num_rotations, interpret=interpret
+    )
+    return jnp.moveaxis(out, 1, -1)
+
+
 def pallas_rotate_select(
     x: Array,
     idx: Array,

@@ -53,6 +53,25 @@ def test_select2_fast_wide_fiber_channels():
     assert bool((sel == ref).all())
 
 
+@pytest.mark.parametrize("n", [4, 8])
+def test_rotate_roll_select_fuses_roll_bitexact(n):
+    """Fused rotate+roll kernel == rotate_select(fast) then roll_by_gather."""
+    from equiadapt_tpu.ops.group_action import roll_by_gather
+    from equiadapt_tpu.ops.pallas.select_warp import rotate_roll_select
+    from equiadapt_tpu.ops.warp import rotate_select_fast
+
+    B, G, F = 8, n, 2
+    x = _x(b=B, h=16, c=F * G, seed=3)
+    idx = jnp.arange(B) % n
+    shift = (idx * (360.0 // n) / 360.0 * n).astype(jnp.int32)
+    fused = rotate_roll_select(x, idx, shift, n, 1.0, "zeros", interpret=True)
+    ref = rotate_select_fast(x, idx, n, 1.0, "zeros")
+    ref = roll_by_gather(
+        ref.reshape(B, 16, 16, F, G), shift.astype(jnp.float32)
+    ).reshape(B, 16, 16, F * G)
+    assert bool((fused == ref).all())
+
+
 def test_rotate_select_dispatch_fallback_cpu():
     # on CPU the wrapper falls back to the blend path
     x = _x()
