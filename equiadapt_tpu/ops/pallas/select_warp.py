@@ -208,32 +208,32 @@ def _pallas_select2_rolled(
     B, C, H, W = xn.shape
     G = num_group
     assert C % G == 0, (C, G)
-    F = C // G
+
+    def _src_block(b, c, s_, k_, sh_):
+        # the roll lives entirely in the input steering: output plane
+        # (f, g) DMAs source plane (f, (g - shift[b]) mod G)
+        return (b, (c // G) * G + jnp.mod(c - sh_[b], G), 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # src_idx, k_idx, shift
-        grid=(B, F),
+        grid=(B, C),
         in_specs=[
-            pl.BlockSpec((1, G, H, W), lambda b, f, s_, k_, sh_: (b, f, 0, 0)),
-            pl.BlockSpec((1, G, H, W), lambda b, f, s_, k_, sh_: (b, f, 0, 0)),
+            pl.BlockSpec((1, 1, H, W), _src_block),
+            pl.BlockSpec((1, 1, H, W), _src_block),
         ],
         out_specs=pl.BlockSpec(
-            (1, G, H, W), lambda b, f, s_, k_, sh_: (b, f, 0, 0)
+            (1, 1, H, W), lambda b, c, s_, k_, sh_: (b, c, 0, 0)
         ),
     )
 
     def kernel(src_ref, k_ref, sh_ref, x_ref, y_ref, out_ref):
         b = pl.program_id(0)
-        take_y = src_ref[b] == 1
-        k = k_ref[b] % 4
-        s = sh_ref[b] % G
-        for g in range(G):
-            c_in = jax.lax.rem(jnp.int32(g) - s + G, G)
-            plane = jnp.where(take_y, y_ref[0, c_in], x_ref[0, c_in])
+        plane = jnp.where(src_ref[b] == 1, y_ref[0, 0], x_ref[0, 0])
 
-            def store(v, g=g):
-                out_ref[0, g] = v
+        def store(v):
+            out_ref[0, 0] = v
 
-            _emit_rot90(plane, k, store, H, W, x_ref.dtype)
+        _emit_rot90(plane, k_ref[b] % 4, store, H, W, x_ref.dtype)
 
     return pl.pallas_call(
         kernel,
