@@ -103,6 +103,14 @@ def test_classification_cli_dryrun(capsys):
     assert "dryrun ok" in capsys.readouterr().out
 
 
+def test_serving_cli_aot_compile(capsys):
+    """serve.py: AOT-compiled bf16-fast forward streams batches."""
+    mod = _load("examples/images/classification/serve.py", "cli_serve")
+    mod.main(TINY_IMAGE)
+    out = capsys.readouterr().out
+    assert "AOT compile" in out and "images/s" in out
+
+
 def test_nbody_cli(capsys):
     mod = _load("examples/nbody/train.py", "cli_nbody")
     mod.main(["experiment.num_epochs=1", "experiment.batch_size=8"])
