@@ -151,7 +151,27 @@ def get_action_on_image_features(
             x_out = (1.0 - r) * x_out + r * hflip(x_out)
         return x_out
     if induced_rep_type == "vector":
-        raise NotImplementedError(
-            "Action for vector representation is not implemented (matches reference)"
+        # Implemented here although the reference leaves it
+        # NotImplementedError (images/utils.py:90-92): a vector field
+        # transforms as v'(x) = R(theta) v(R(-theta) x) — spatial rotate,
+        # then mix channel 2-vector pairs [2f, 2f+1] = (v_x, v_y) by the
+        # same rotation. Rotation-only groups (a reflection's action on a
+        # vector field needs an orientation convention the reference never
+        # fixed either).
+        if reflection is not None:
+            raise NotImplementedError(
+                "vector rep under reflections needs an orientation convention"
+            )
+        if C % 2 != 0:
+            raise ValueError(f"vector rep needs even channels, got {C}")
+        x_out = _rot(feature_map)
+        rad = jnp.deg2rad(rotation_deg).astype(x_out.dtype)
+        cos = jnp.cos(rad)[:, None, None, None]
+        sin = jnp.sin(rad)[:, None, None, None]
+        v = x_out.reshape(B, H, W, C // 2, 2)
+        vx, vy = v[..., 0], v[..., 1]
+        v_rot = jnp.stack(
+            [cos * vx - sin * vy, sin * vx + cos * vy], axis=-1
         )
+        return v_rot.reshape(B, H, W, C)
     raise ValueError("induced_rep_type must be regular, scalar or vector")
