@@ -115,21 +115,29 @@ def get_action_on_image_features(
         if (
             mode == "fast"
             and rotation_onehot is None
-            and reflection is None
-            and num_group == num_rotations
+            and num_group in (num_rotations, 2 * num_rotations)
+            and (reflection is None) == (num_group == num_rotations)
             and jax.default_backend() == "tpu"
             and H == W
             and num_rotations in (1, 2, 4, 8)
         ):
-            # fused pallas pass: spatial rotate-select + fiber roll in one
-            # kernel (the roll is a per-sample channel permutation riding
-            # the kernel's plane indexing — bit-identical to the separate
-            # roll_by_gather pass it replaces)
+            # fused pallas pass: spatial rotate-select (+ hard hflip for
+            # D_n) + fiber roll in one kernel (the roll is a per-sample
+            # channel permutation riding the kernel's plane indexing —
+            # bit-identical to the separate roll_by_gather pass it
+            # replaces). Only the eval path lands here (rotation_onehot is
+            # None), where the reflect indicator is hard 0/1.
             from equiadapt_tpu.ops.pallas.select_warp import rotate_roll_select
 
             shift_i = (rotation_deg / 360.0 * num_rotations).astype(jnp.int32)
+            refl_i = (
+                None
+                if reflection is None
+                else jnp.round(reflection).astype(jnp.int32)
+            )
             return rotate_roll_select(
-                feature_map, idx, shift_i, num_rotations, 1.0, "zeros"
+                feature_map, idx, shift_i, num_rotations, 1.0, "zeros",
+                refl=refl_i,
             )
         x_out = _rot(feature_map)
         if reflection is not None:

@@ -21,6 +21,7 @@ interpret mode; the TPU check script asserts it on hardware).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -182,7 +183,9 @@ def _pallas_select2(
     )(src_idx.astype(jnp.int32), k_idx.astype(jnp.int32), xn, yn)
 
 
-@functools.partial(jax.jit, static_argnames=("num_group", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_group", "num_rotations", "interpret")
+)
 def _pallas_select2_rolled(
     xn: Array,
     yn: Array,
@@ -190,63 +193,107 @@ def _pallas_select2_rolled(
     k_idx: Array,
     shift: Array,
     num_group: int,
+    num_rotations: int,
+    refl: Optional[Array] = None,
     interpret: bool = False,
 ) -> Array:
     """`_pallas_select2` with the regular-rep fiber roll fused in.
 
     The invert engine's channel roll (roll_by_gather: output fiber g reads
-    input fiber (g - shift[b]) mod G) is a per-sample channel permutation,
-    and it commutes with the spatial rot90 — so it costs nothing here: each
-    output plane simply reads its rolled source plane out of the
-    already-DMA'd (1, G, H, W) field block (dynamic index on the untiled
-    channel dim). Replaces a separate one-hot-matmul roll pass over the
-    full feature map (~2 HBM round trips + MXU work at C=16/224px).
+    input fiber (g - shift[b]) mod n; reflection fibers roll the opposite
+    way for D_n) is a per-sample channel permutation, and it commutes with
+    the spatial transform — so it costs nothing here: each output plane
+    simply DMAs its rolled source plane via the scalar-steered input
+    index_map. Replaces a separate one-hot-matmul roll pass over the full
+    feature map (~2 HBM round trips + MXU work at C=16/224px).
+
+    For D_n (`num_group == 2 * num_rotations`) pass `refl` (B,) hard 0/1:
+    the per-sample hflip after the rot90 happens in-VMEM as one extra
+    exchange-matrix lane reversal.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, C, H, W = xn.shape
     G = num_group
+    n = num_rotations
     assert C % G == 0, (C, G)
+    assert G in (n, 2 * n), (G, n)
+    with_refl = refl is not None
+    nps = 4 if with_refl else 3
 
-    def _src_block(b, c, s_, k_, sh_):
-        # the roll lives entirely in the input steering: output plane
-        # (f, g) DMAs source plane (f, (g - shift[b]) mod G)
-        return (b, (c // G) * G + jnp.mod(c - sh_[b], G), 0, 0)
+    def _src_p(p, s):
+        if G == n:
+            return jnp.mod(p - s, n)
+        # D_n: rotation fibers [0, n) roll +s, reflection fibers [n, 2n)
+        # roll -s (reference images/utils.py:68-77 semantics, corrected
+        # blend convention per DEVIATIONS.md)
+        return jnp.where(
+            p < n, jnp.mod(p - s, n), n + jnp.mod(p - n + s, n)
+        )
+
+    def _src_block(b, c, *scalars):
+        sh_ = scalars[2]
+        return (b, (c // G) * G + _src_p(c % G, sh_[b]), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # src_idx, k_idx, shift
+        num_scalar_prefetch=nps,  # src_idx, k_idx, shift[, refl]
         grid=(B, C),
         in_specs=[
             pl.BlockSpec((1, 1, H, W), _src_block),
             pl.BlockSpec((1, 1, H, W), _src_block),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, H, W), lambda b, c, s_, k_, sh_: (b, c, 0, 0)
+            (1, 1, H, W), lambda b, c, *scalars: (b, c, 0, 0)
         ),
     )
 
-    def kernel(src_ref, k_ref, sh_ref, x_ref, y_ref, out_ref):
+    def kernel(src_ref, k_ref, sh_ref, *rest):
+        if with_refl:
+            refl_ref, x_ref, y_ref, out_ref = rest
+        else:
+            x_ref, y_ref, out_ref = rest
         b = pl.program_id(0)
         plane = jnp.where(src_ref[b] == 1, y_ref[0, 0], x_ref[0, 0])
 
-        def store(v):
-            out_ref[0, 0] = v
+        if with_refl:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+            exw = (rows + cols == W - 1).astype(jnp.float32)
+            do_flip = refl_ref[b] == 1
+
+            def store(v):
+                v32 = v.astype(jnp.float32)
+                flipped = jax.lax.dot_general(
+                    v32, exw, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=(
+                        jax.lax.Precision.DEFAULT
+                        if v.dtype == jnp.bfloat16
+                        else jax.lax.Precision.HIGHEST
+                    ),
+                )
+                out_ref[0, 0] = jnp.where(do_flip, flipped, v32).astype(v.dtype)
+        else:
+
+            def store(v):
+                out_ref[0, 0] = v
 
         _emit_rot90(plane, k_ref[b] % 4, store, H, W, x_ref.dtype)
 
+    scalars = [
+        src_idx.astype(jnp.int32),
+        k_idx.astype(jnp.int32),
+        shift.astype(jnp.int32),
+    ]
+    if with_refl:
+        scalars.append(refl.astype(jnp.int32))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), xn.dtype),
         interpret=interpret,
-    )(
-        src_idx.astype(jnp.int32),
-        k_idx.astype(jnp.int32),
-        shift.astype(jnp.int32),
-        xn,
-        yn,
-    )
+    )(*scalars, xn, yn)
 
 
 def rotate_roll_select(
@@ -256,13 +303,18 @@ def rotate_roll_select(
     num_rotations: int,
     sign: float = 1.0,
     padding_mode: str = "zeros",
+    refl: Optional[Array] = None,
     interpret: bool = False,
 ) -> Array:
-    """Fused fast-mode invert: spatial rotate-select + regular-rep fiber
-    roll in one pallas pass. Bit-identical to
-    `rotate_select(..., mode="fast")` followed by `roll_by_gather`
-    (pure permutations compose exactly; asserted in tests and on hardware
-    by bench.py). Rotation-only groups, square images, hard selection.
+    """Fused fast-mode invert: spatial rotate-select (+ optional hard
+    per-sample hflip for D_n) + regular-rep fiber roll in one pallas pass.
+    Bit-identical to `rotate_select(..., mode="fast")` (+ hflip blend) then
+    `roll_by_gather` (pure permutations compose exactly; asserted in tests
+    and on hardware by bench.py). Square images, hard selection.
+
+    With `refl` given, the channel layout is the D_n regular rep
+    (C = fields * 2 * num_rotations): rotation fibers roll +shift,
+    reflection fibers -shift, and reflected samples get an in-VMEM hflip.
     """
     from equiadapt_tpu.ops.warp import rotate_twopass_nchw
 
@@ -280,8 +332,10 @@ def rotate_roll_select(
         k_idx = m * (4 // num_rotations)
         xn = jnp.moveaxis(x, -1, 1)
         yn = xn
+    num_group = num_rotations if refl is None else 2 * num_rotations
     out = _pallas_select2_rolled(
-        xn, yn, src_idx, k_idx, shift, num_rotations, interpret=interpret
+        xn, yn, src_idx, k_idx, shift, num_group, num_rotations,
+        refl=refl, interpret=interpret,
     )
     return jnp.moveaxis(out, 1, -1)
 

@@ -96,3 +96,29 @@ def test_rotate_select_gradient_is_blend_transpose():
     g1 = jax.grad(loss_sel)(x)
     g2 = jax.grad(loss_blend)(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [4, 8])
+def test_rotate_roll_select_dn_reflection(n):
+    """D_n fused invert (interpret) == the XLA fallback path: rotate(+theta),
+    hard hflip blend, split-fiber +/-shift rolls."""
+    from equiadapt_tpu.ops.group_action import get_action_on_image_features
+    from equiadapt_tpu.ops.pallas.select_warp import rotate_roll_select
+
+    B, F = 8, 2
+    G = 2 * n
+    x = _x(b=B, h=16, c=F * G, seed=5)
+    idx = jnp.arange(B) % n
+    deg = idx * (360.0 / n)
+    refl = jnp.arange(B) % 2  # alternate reflected samples
+    shift = idx
+    fused = rotate_roll_select(
+        x, idx, shift, n, 1.0, "zeros",
+        refl=refl.astype(jnp.int32), interpret=True,
+    )
+    ref = get_action_on_image_features(
+        x, num_rotations=n, num_group=G, rotation_deg=deg,
+        reflection=refl.astype(jnp.float32), induced_rep_type="regular",
+        mode="fast",
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
