@@ -162,10 +162,23 @@ def bench_jax() -> dict:
     rr = jnp.asarray(rng.uniform(-np.pi / 4, np.pi / 4, 8).astype(np.float32))
     sh_tpu = shear_rotate_residual(xs, rr, 32.0, 32.0, "border")
     sh_itp = shear_rotate_residual(xs, rr, 32.0, 32.0, "border", interpret=True)
+    # fused invert (rotate+roll) kernel vs its unfused composition
+    from equiadapt_tpu.ops.group_action import roll_by_gather
+    from equiadapt_tpu.ops.pallas.select_warp import rotate_roll_select
+
+    y16 = jnp.asarray(
+        rng.normal(size=(8, 64, 64, 16)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    fused = rotate_roll_select(y16, idx8, idx8, NUM_ROT, 1.0, "zeros")
+    unf = rotate_select_fast(y16, idx8, NUM_ROT, 1.0, "zeros")
+    unf = roll_by_gather(
+        unf.reshape(8, 64, 64, 2, NUM_ROT), idx8.astype(jnp.float32)
+    ).reshape(8, 64, 64, 16)
     kernels_bitexact = (
         bool((sel_pallas == sel_blend).all())
         and bool((sel_fast_pallas == sel_fast_xla).all())
         and bool((sh_tpu == sh_itp).all())
+        and bool((fused == unf).all())
     )
 
     # continuous (steerable) canonicalize: fast 3-shear kernel vs exact
