@@ -220,6 +220,144 @@ def _rot90_centered(x: Array, k: int, cx: int, cy: int, padding_mode: str) -> Ar
     return zp[:, ay + sy:ay + sy + H, ax + sx:ax + sx + W, :]
 
 
+def _centered_select_kernel(H, W, shifts, padding_mode):
+    """Kernel: out[b] = translate(rot90^{k[b]}(img), sx_k, sy_k) with the
+    per-k static shifts folded INTO the exchange/translate matrices (every
+    branch stays <=2 single-1-per-row 0/1 matmuls — exact in any dtype).
+
+    translate semantics (matches _rot90_centered): out[y, x] =
+    v[y + sy, x + sx], edge-clamped ("border") or zero-filled ("zeros").
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def left_mat(sy, reverse):
+        # (L @ v)[i, :] = v[f(i), :] with f(i) = (H-1 - (i+sy)) if reverse
+        # else (i + sy); out-of-range -> clamp or zero row
+        i = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+        src = (H - 1 - (i + sy)) if reverse else (i + sy)
+        valid = (src >= 0) & (src <= H - 1)
+        srcc = jnp.clip(src, 0, H - 1)
+        m = (j == srcc).astype(jnp.float32)
+        if padding_mode != "border":
+            m = m * valid.astype(jnp.float32)
+        return m
+
+    def right_mat(sx, reverse):
+        # (v @ R)[:, x] = v[:, g(x)] with g(x) = (W-1 - (x+sx)) if reverse
+        # else (x + sx)
+        j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        x = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        src = (W - 1 - (x + sx)) if reverse else (x + sx)
+        valid = (src >= 0) & (src <= W - 1)
+        srcc = jnp.clip(src, 0, W - 1)
+        m = (j == srcc).astype(jnp.float32)
+        if padding_mode != "border":
+            m = m * valid.astype(jnp.float32)
+        return m
+
+    def kernel(k_ref, in_ref, out_ref):
+        b = pl.program_id(0)
+        k = k_ref[b] % 4
+        dt = in_ref.dtype
+        img = in_ref[0, 0].astype(jnp.float32)
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if dt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        )
+
+        def mm(a, bb):
+            return jax.lax.dot_general(
+                a, bb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+
+        # jnp.rot90(img, k): k=1 -> reverse rows of img.T; k=2 -> reverse
+        # rows+cols; k=3 -> reverse cols of img.T. Shifts compose on top.
+        (sy0, sx0), (sy1, sx1), (sy2, sx2), (sy3, sx3) = shifts
+
+        @pl.when(k == 0)
+        def _():
+            if (sy0, sx0) == (0, 0):
+                out_ref[0, 0] = img.astype(dt)
+            else:
+                out_ref[0, 0] = mm(
+                    mm(left_mat(sy0, False), img), right_mat(sx0, False)
+                ).astype(dt)
+
+        @pl.when(k == 1)
+        def _():
+            out_ref[0, 0] = mm(
+                mm(left_mat(sy1, True), img.T), right_mat(sx1, False)
+            ).astype(dt)
+
+        @pl.when(k == 2)
+        def _():
+            out_ref[0, 0] = mm(
+                mm(left_mat(sy2, True), img), right_mat(sx2, True)
+            ).astype(dt)
+
+        @pl.when(k == 3)
+        def _():
+            out_ref[0, 0] = mm(
+                mm(left_mat(sy3, False), img.T), right_mat(sx3, True)
+            ).astype(dt)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cx", "cy", "padding_mode", "interpret")
+)
+def pallas_rot90_centered_select(
+    x: Array,
+    k_idx: Array,
+    cx: int,
+    cy: int,
+    padding_mode: str = "border",
+    interpret: bool = False,
+) -> Array:
+    """Steered single-pass z[b] = rot90_centered^{k[b]}(x[b]) about integer
+    center (cx, cy) — replaces the 4-candidate XLA blend in
+    `warp_rotate_center_fast` (each candidate materialized a padded/sliced
+    copy; here every sample is one read + one write with the center-fix
+    translation folded into the in-VMEM permutation matmuls)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = x.shape
+    shifts = []
+    for k in range(4):
+        if k == 0:
+            shifts.append((0, 0))
+            continue
+        dx, dy = cx - (W - 1) / 2.0, cy - (H - 1) / 2.0
+        c, s = [1, 0, -1, 0][k], [0, -1, 0, 1][k]
+        sx = int(round((c * dx - s * dy) - dx))
+        sy = int(round((s * dx + c * dy) - dy))
+        shifts.append((sy, sx))
+    kernel = _centered_select_kernel(H, W, tuple(shifts), padding_mode)
+    xn = jnp.moveaxis(x, -1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, H, W), lambda b, c, k_ref: (b, c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H, W), lambda b, c, k_ref: (b, c, 0, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), x.dtype),
+        interpret=interpret,
+    )(k_idx.astype(jnp.int32), xn)
+    return jnp.moveaxis(out, 1, -1)
+
+
 def warp_rotate_center_fast(
     x: Array,
     R: Array,
@@ -244,12 +382,19 @@ def warp_rotate_center_fast(
     k = jnp.round(phi / (jnp.pi / 2.0)).astype(jnp.int32)
     r = phi - k.astype(jnp.float32) * (jnp.pi / 2.0)
     k = jnp.mod(k, 4)
-    oh = jax.nn.one_hot(k, 4, dtype=x.dtype)
-    z = None
-    for j in range(4):
-        cand = _rot90_centered(x, j, cx, cy, padding_mode)
-        term = cand * oh[:, j][:, None, None, None]
-        z = term if z is None else z + term
+    if jax.default_backend() == "tpu" or interpret:
+        # steered single-pass quarter turn (one read + one write per
+        # sample) instead of the 4-candidate blend of padded copies
+        z = pallas_rot90_centered_select(
+            x, k, cx, cy, padding_mode, interpret=interpret
+        )
+    else:
+        oh = jax.nn.one_hot(k, 4, dtype=x.dtype)
+        z = None
+        for j in range(4):
+            cand = _rot90_centered(x, j, cx, cy, padding_mode)
+            term = cand * oh[:, j][:, None, None, None]
+            z = term if z is None else z + term
     if jax.default_backend() != "tpu" and not interpret:
         # exact fallback path off-TPU: residual via the dynamic warp
         from equiadapt_tpu.ops.warp import bilinear_sample

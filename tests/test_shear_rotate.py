@@ -145,3 +145,28 @@ def test_continuous_canonicalizer_fast_tracks_exact():
     )
     err2 = (jnp.abs(y_f - y_e) * _disk(32)).max()
     assert float(err2) < 0.3, float(err2)
+
+
+@pytest.mark.parametrize("padding", ["border", "zeros"])
+@pytest.mark.parametrize("size", [16, 15])
+def test_pallas_centered_select_matches_blend(padding, size):
+    """Steered centered-quarter-turn kernel == the 4-candidate
+    _rot90_centered blend, both centers conventions (even/odd sizes)."""
+    import numpy as np
+
+    from equiadapt_tpu.ops.pallas.shear_rotate import (
+        _rot90_centered,
+        pallas_rot90_centered_select,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, size, size, 3)).astype(np.float32))
+    k = jnp.arange(8) % 4
+    sel = pallas_rot90_centered_select(
+        x, k, size // 2, size // 2, padding, interpret=True
+    )
+    for b in range(8):
+        ref = _rot90_centered(
+            x[b : b + 1], int(k[b]), size // 2, size // 2, padding
+        )
+        np.testing.assert_array_equal(np.asarray(sel[b]), np.asarray(ref[0]))
