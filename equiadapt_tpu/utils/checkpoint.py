@@ -51,13 +51,52 @@ def save_checkpoint(path: str, state: Any, config: Optional[Config] = None) -> N
             json.dump(config.to_dict(), f, indent=2)
 
 
-def restore_checkpoint(path: str, state: Any) -> Any:
-    """Restore into an abstract/concrete state template (same treedef)."""
+def restore_checkpoint(path: str, state: Any, strict: bool = True) -> Any:
+    """Restore into an abstract/concrete state template (same treedef).
+
+    strict=False (the reference's `strict_loading` knob,
+    train_utils.py:35-42): leaves missing from the checkpoint or with a
+    different shape keep the template's values instead of erroring — the
+    partial-finetune / surgery loading mode.
+    """
+    import jax
+    import numpy as np
+
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     target = {"params": state.params, "batch_stats": state.batch_stats,
               "opt_state": state.opt_state, "step": state.step}
-    restored = ckptr.restore(os.path.join(path, "state"), target)
+    if strict:
+        restored = ckptr.restore(os.path.join(path, "state"), target)
+    else:
+        # Lightning's strict=False covers the module state_dict only:
+        # merge params/batch_stats leaf-wise, keep the template's
+        # optimizer state and step untouched.
+        raw = ckptr.restore(os.path.join(path, "state"))  # no template
+
+        def merge(tpl, donor):
+            if isinstance(tpl, dict):
+                if not isinstance(donor, dict):
+                    return tpl
+                return {
+                    k: merge(v, donor[k]) if k in donor else v
+                    for k, v in tpl.items()
+                }
+            try:
+                if donor is None or np.shape(donor) != np.shape(tpl):
+                    return tpl
+            except ValueError:
+                return tpl
+            return jax.numpy.asarray(donor, dtype=np.asarray(tpl).dtype)
+
+        restored = {
+            "params": merge(target["params"], raw.get("params", {})),
+            "batch_stats": merge(
+                target["batch_stats"], raw.get("batch_stats", {})
+            ),
+            "opt_state": target["opt_state"],
+            "step": target["step"],
+        }
     return state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"], step=restored["step"],

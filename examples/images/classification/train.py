@@ -84,6 +84,13 @@ def get_batches(cfg: Config, rng, num_batches: int):
 
 def main(argv) -> None:
     cfg = Config().override(*argv)
+    if cfg.checkpoint.checkpoint_name and cfg.checkpoint.checkpoint_path:
+        # named run directory under checkpoint_path (ModelCheckpoint
+        # filename analog, reference train_utils.py:99-105)
+        cfg = cfg.override(
+            "checkpoint.checkpoint_path="
+            f"{cfg.checkpoint.checkpoint_path}/{cfg.checkpoint.checkpoint_name}"
+        )
     if cfg.experiment.run_mode == "test" and cfg.checkpoint.checkpoint_path:
         # reconstruct the exact canonicalizer from the checkpoint snapshot
         cfg = restore_config(cfg.checkpoint.checkpoint_path).override(
@@ -127,7 +134,10 @@ def main(argv) -> None:
     eval_step = make_eval_step(loss_kwargs)
 
     if cfg.experiment.run_mode == "test":
-        state = restore_checkpoint(cfg.checkpoint.checkpoint_path, state)
+        state = restore_checkpoint(
+            cfg.checkpoint.checkpoint_path, state,
+            strict=cfg.checkpoint.strict_loading,
+        )
         batch = next(get_batches(cfg, jax.random.fold_in(rng, 999), 1))
         if cfg.experiment.inference_method == "group":
             metrics = group_inference(

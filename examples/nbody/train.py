@@ -42,8 +42,9 @@ def main(argv) -> None:
         *argv,
     )
     rng = jax.random.key(cfg.experiment.seed)
-    train = generate_nbody_dataset(jax.random.fold_in(rng, 0), 512)
-    valid = generate_nbody_dataset(jax.random.fold_in(rng, 1), 128)
+    nb = cfg.dataset.num_nodes_graph  # particles per graph (no hard-coded 5)
+    train = generate_nbody_dataset(jax.random.fold_in(rng, 0), 512, n_balls=nb)
+    valid = generate_nbody_dataset(jax.random.fold_in(rng, 1), 128, n_balls=nb)
 
     canon = get_nbody_canonicalizer(cfg.canonicalization)
     pred = get_nbody_prediction_network(cfg.prediction)

@@ -244,3 +244,45 @@ def test_lr_find_suggests_descending_region():
                       0.5 + 50 * (lrs - 3e-2)))
     s = _suggest(lrs, losses.astype(np.float64))
     assert 1e-4 < s < 5e-2, s
+
+
+def test_restore_checkpoint_nonstrict_tolerates_mismatch(tmp_path):
+    """strict=False keeps template leaves where the donor is missing or
+    shape-mismatched (the reference's strict_loading knob)."""
+    pipe, state, batch = _tiny_state()
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state)
+
+    # a state with a different prediction head shape (7 classes vs 4)
+    cfg = CanonicalizationConfig(
+        network_hyperparams=NetworkHyperparams(out_channels=4, num_layers=2)
+    )
+    in_shape = (16, 16, 3)
+    net = get_image_canonicalization_network(cfg, in_shape)
+    canon = get_image_canonicalizer(cfg, net, in_shape)
+    pipe2 = ImageClassifierPipeline(
+        canonicalizer=canon, prediction_network=_TinyPredNet(num_classes=7)
+    )
+    batch2 = synthetic_image_batch(KEY, 4, size=16, num_classes=7)
+    state2 = create_train_state(
+        pipe2, jax.random.key(9), batch2["image"], optax.adam(1e-3)
+    )
+    with pytest.raises(Exception):
+        restore_checkpoint(path, state2, strict=True)
+    restored = restore_checkpoint(path, state2, strict=False)
+    # a matching leaf came from the checkpoint...
+    don = state.params["canonicalizer"]
+    got = restored.params["canonicalizer"]
+    for x, y in zip(
+        jax.tree_util.tree_leaves(don), jax.tree_util.tree_leaves(got)
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # ...and the mismatched head kept the template values
+    head_t = jax.tree_util.tree_leaves(state2.params["prediction_network"])
+    head_r = jax.tree_util.tree_leaves(restored.params["prediction_network"])
+    kept_any = any(
+        np.shape(a) != np.shape(b)
+        or np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(head_t, head_r)
+    )
+    assert kept_any
