@@ -244,6 +244,10 @@ def bench_jax() -> dict:
     pc_canon = EquivariantPointcloudCanonicalization(
         canonicalization_network=VNSmall(n_knn=16, pooling="mean")
     )
+    pc_canon_fast = EquivariantPointcloudCanonicalization(
+        canonicalization_network=VNSmall(n_knn=16, pooling="mean",
+                                         knn_mode="approx")
+    )
     pts = jnp.asarray(rng.normal(size=(64, 1024, 3)).astype(np.float32))
     pc_params = jax.jit(lambda k, s: pc_canon.init(k, s, training=False))(
         jax.random.key(4), pts[:2]
@@ -251,6 +255,10 @@ def bench_jax() -> dict:
 
     def pc_step(cp, pp, i):
         p_c, _ = pc_canon.apply(cp, pp + i * 1e-9, training=False)
+        return jnp.sum(p_c)
+
+    def pc_step_fast(cp, pp, i):
+        p_c, _ = pc_canon_fast.apply(cp, pp + i * 1e-9, training=False)
         return jnp.sum(p_c)
 
     # n-body SE(3) canonicalization (BASELINE config 3): VNDeepSets
@@ -286,6 +294,7 @@ def bench_jax() -> dict:
 
     out = {"kernels_bitexact": kernels_bitexact}
     out["pointcloud_canon_ms"] = timed_ms(pc_step, pc_params, pts)
+    out["pointcloud_canon_fast_ms"] = timed_ms(pc_step_fast, pc_params, pts)
     out["nbody_canon_ms"] = timed_ms(nb_step, nb_params, nb)
     out["opt_d8_96px_ms"] = timed_ms(opt_step, opt_params, x96)
     out["continuous_fast_ms"] = timed_ms(steer_canon(steer_fast), steer_params, x)
@@ -441,6 +450,9 @@ def main() -> None:
                 ),
                 "pointcloud_canonicalize_clouds_s": round(
                     64.0 / m["pointcloud_canon_ms"] * 1e3, 1
+                ),
+                "pointcloud_canonicalize_clouds_s_approx_knn": round(
+                    64.0 / m["pointcloud_canon_fast_ms"] * 1e3, 1
                 ),
                 "nbody_canonicalize_graphs_s": round(
                     512.0 / m["nbody_canon_ms"] * 1e3, 1

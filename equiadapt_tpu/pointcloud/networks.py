@@ -26,11 +26,16 @@ Array = jnp.ndarray
 __all__ = ["knn_indices", "graph_feature_cross", "VNSmall"]
 
 
-def knn_indices(points: Array, k: int) -> Array:
+def knn_indices(points: Array, k: int, mode: str = "exact") -> Array:
     """k nearest neighbors by negative squared distance.
 
     Args:
         points: (B, N, 3).
+        mode: "exact" (jax.lax.top_k — reference semantics) or "approx"
+            (jax.lax.approx_max_k, the TPU-native partial-reduction top-k:
+            ~2.9x faster at N=1024 with ~99% neighbor recall on Gaussian
+            clouds — docs/benchmarking.md; fine for kNN graph building,
+            off by default).
 
     Returns:
         (B, N, k) int32 neighbor indices (reference equivariant_networks.py:15-33:
@@ -39,11 +44,16 @@ def knn_indices(points: Array, k: int) -> Array:
     inner = jnp.einsum("bnd,bmd->bnm", points, points)
     sq = jnp.sum(points**2, axis=-1)
     neg_dist = 2 * inner - sq[:, :, None] - sq[:, None, :]
+    if mode == "approx":
+        _, idx = jax.lax.approx_max_k(neg_dist, k)
+        return idx
     _, idx = jax.lax.top_k(neg_dist, k)
     return idx
 
 
-def graph_feature_cross(x: Array, k: int, idx: Optional[Array] = None) -> Array:
+def graph_feature_cross(
+    x: Array, k: int, idx: Optional[Array] = None, knn_mode: str = "exact"
+) -> Array:
     """Cross-product edge features (reference equivariant_networks.py:36-76).
 
     Args:
@@ -58,7 +68,7 @@ def graph_feature_cross(x: Array, k: int, idx: Optional[Array] = None) -> Array:
         # kNN on the flattened vector coordinates, like the reference's
         # view(batch, -1, num_points)
         pts = x.reshape(B, N, three * C)
-        idx = knn_indices(pts, k)
+        idx = knn_indices(pts, k, mode=knn_mode)
     # gather neighbor features: (B, N, k, 3, C)
     feat = jnp.take_along_axis(
         x[:, :, None], idx[..., None, None], axis=1
@@ -79,12 +89,18 @@ class VNSmall(nn.Module):
     n_knn: int = 20
     pooling: str = "mean"
     dropout_rate: float = 0.5
+    # "approx" switches the kNN graph to jax.lax.approx_max_k (TPU-native,
+    # ~2.9x faster frame estimation at ~99% neighbor recall); "exact"
+    # keeps reference top_k semantics
+    knn_mode: str = "exact"
 
     @nn.compact
     def __call__(self, point_cloud: Array, training: bool = False) -> Array:
         """point_cloud: (B, N, 3) -> (B, 3, 3) rows = equivariant vectors."""
         x = point_cloud[..., None]  # (B, N, 3, 1)
-        feat = graph_feature_cross(x, k=self.n_knn)  # (B, N, k, 3, 3)
+        feat = graph_feature_cross(
+            x, k=self.n_knn, knn_mode=self.knn_mode
+        )  # (B, N, k, 3, 3)
         out = VNLinearLeakyReLU(64 // 3, negative_slope=0.0, name="conv_pos")(
             feat, training=training
         )

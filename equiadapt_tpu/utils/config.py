@@ -36,6 +36,9 @@ class NetworkHyperparams:
     out_vector_size: int = 128
     n_knn: int = 20
     pooling: str = "mean"
+    # "approx" = TPU approx_max_k kNN graphs (~2.9x faster frames, ~99%
+    # neighbor recall); "exact" = reference top_k semantics
+    knn_mode: str = "exact"
     hidden_dim: int = 16
     layer_pooling: str = "mean"
     final_pooling: str = "mean"

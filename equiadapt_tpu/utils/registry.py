@@ -161,7 +161,7 @@ def get_pointcloud_canonicalizer(cfg: CanonicalizationConfig):
     if cfg.canonicalization_type == "identity":
         return IdentityCanonicalization()
     if cfg.canonicalization_type == "continuous_group":
-        net = VNSmall(n_knn=h.n_knn, pooling=h.pooling)
+        net = VNSmall(n_knn=h.n_knn, pooling=h.pooling, knn_mode=h.knn_mode)
         return EquivariantPointcloudCanonicalization(canonicalization_network=net)
     raise ValueError(f"{cfg.canonicalization_type} is not implemented for pointclouds")
 

@@ -138,3 +138,28 @@ def test_vnsmall_maxpool_variant_runs():
     v = net.apply(params, pts)
     assert v.shape == (2, 3, 3)
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_vnsmall_approx_knn_mode_runs_and_matches_closely():
+    """knn_mode='approx' (TPU approx_max_k fast path): same architecture,
+    near-identical frames on CPU where approx_max_k falls back to exact."""
+    import numpy as np
+
+    from equiadapt_tpu.pointcloud.networks import VNSmall, knn_indices
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+    idx_e = knn_indices(pts, 8, mode="exact")
+    idx_a = knn_indices(pts, 8, mode="approx")
+    # same neighbor sets (ordering may differ)
+    same = np.mean([
+        len(set(np.asarray(idx_e[b, n])) & set(np.asarray(idx_a[b, n]))) / 8
+        for b in range(2) for n in range(0, 128, 16)
+    ])
+    assert same > 0.95
+
+    net = VNSmall(n_knn=8, pooling="mean", knn_mode="approx")
+    params = net.init(jax.random.key(0), pts, training=False)
+    vecs = net.apply(params, pts, training=False)
+    assert vecs.shape == (2, 3, 3)
+    assert bool(jnp.isfinite(vecs).all())
