@@ -215,6 +215,11 @@ def _pallas_select2_rolled(
     from jax.experimental.pallas import tpu as pltpu
 
     B, C, H, W = xn.shape
+    if H != W:
+        raise ValueError(
+            f"_pallas_select2_rolled needs square images (rot90 branches "
+            f"transpose through permutation matmuls); got H={H}, W={W}"
+        )
     G = num_group
     n = num_rotations
     assert C % G == 0, (C, G)

@@ -329,6 +329,12 @@ def pallas_rot90_centered_select(
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, W, C = x.shape
+    if H != W:
+        raise ValueError(
+            f"pallas_rot90_centered_select needs square images (the k=1/k=3 "
+            f"branches feed img.T through (H,H)/(W,W) permutation matmuls); "
+            f"got H={H}, W={W}"
+        )
     shifts = []
     for k in range(4):
         if k == 0:

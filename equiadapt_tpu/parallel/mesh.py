@@ -30,15 +30,22 @@ def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    expected_processes: Optional[int] = None,
 ) -> int:
     """Join a multi-host run (the reference's `num_nodes` DDP analog,
     train_utils.py:83-92) — DCN process group + the global device view.
 
     Arguments fall back to the standard env vars
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a TPU
-    pod's automatic metadata when none are set). No-op in single-process
-    runs with no coordinator configured. Must be called before any backend
-    touch. Returns `jax.process_count()` after initialization.
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID). When
+    none are set but multi-host is *explicitly requested* via
+    `expected_processes > 1` (train.py's `experiment.num_nodes`),
+    `jax.distributed.initialize()` is called with no arguments so a TPU
+    pod's automatic metadata detection runs — otherwise each host would
+    silently proceed as an independent single-process run. Only when
+    neither arguments nor an explicit multi-host request are present is
+    this a no-op (plain single-host runs). Must be called before any
+    backend touch. Returns `jax.process_count()` after initialization and
+    raises if it does not match `expected_processes`.
     """
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
@@ -49,14 +56,28 @@ def init_distributed(
         num_processes = int(env_np)
     if process_id is None and env_pid is not None:
         process_id = int(env_pid)
+    multihost_requested = expected_processes is not None and expected_processes > 1
     if coordinator_address is None and num_processes is None:
-        return jax.process_count()  # single host, nothing to join
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
-    return jax.process_count()
+        if not multihost_requested:
+            return jax.process_count()  # single host, nothing to join
+        # explicit multi-host request with no manual coordinator config:
+        # let JAX's cluster auto-detection (TPU pod metadata, SLURM, ...)
+        # establish the process group.
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    count = jax.process_count()
+    if expected_processes is not None and count != expected_processes:
+        raise RuntimeError(
+            f"multi-host init produced {count} processes but the run was "
+            f"configured for {expected_processes} (experiment.num_nodes) — "
+            "refusing to continue as a divergent partial job"
+        )
+    return count
 
 
 def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:

@@ -94,7 +94,12 @@ def main(argv) -> None:
 
             state = create_train_state(pipeline, rng, sample["image"],
                                        optax.sgd(0.0))
-            state = restore_checkpoint(cfg.checkpoint.checkpoint_path, state)
+            # strict=False: merge params/batch_stats only and keep the
+            # template opt_state — the checkpoint was written by train.py
+            # with its real (labeled chain) optimizer, whose opt_state tree
+            # never matches this serving-only sgd(0.0) placeholder.
+            state = restore_checkpoint(cfg.checkpoint.checkpoint_path, state,
+                                       strict=False)
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats

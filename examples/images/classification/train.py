@@ -100,7 +100,7 @@ def main(argv) -> None:
         # multi-host DP: join the DCN process group before any backend touch
         # (coordinator/process id from JAX_COORDINATOR_ADDRESS etc.) — the
         # reference's Trainer(num_nodes=...) analog (train_utils.py:83-92)
-        init_distributed()
+        init_distributed(expected_processes=cfg.experiment.num_nodes)
     jax.config.update("jax_default_prng_impl", "threefry2x32")
     rng = jax.random.key(cfg.experiment.seed)
 

@@ -111,6 +111,26 @@ def test_serving_cli_aot_compile(capsys):
     assert "AOT compile" in out and "images/s" in out
 
 
+@pytest.mark.slow
+def test_serving_cli_from_trained_checkpoint(tmp_path, capsys):
+    """Train then serve from the written checkpoint (the CLI's primary use).
+
+    Regression for the round-2 advisor finding: the serve-side restore
+    template uses a placeholder sgd(0.0) optimizer whose opt_state tree
+    never matches the one train.py saved — the non-strict restore must
+    merge params/batch_stats only instead of crashing on the tree
+    mismatch."""
+    train = _load("examples/images/classification/train.py", "cli_tr4srv")
+    ck = f"{tmp_path}/ck"
+    train.main(TINY_IMAGE + [f"checkpoint.checkpoint_path={ck}"])
+    capsys.readouterr()
+    serve = _load("examples/images/classification/serve.py", "cli_srv_ck")
+    serve.main(TINY_IMAGE + [f"checkpoint.checkpoint_path={ck}"])
+    out = capsys.readouterr().out
+    assert "serving checkpoint weights" in out
+    assert "images/s" in out
+
+
 def test_nbody_cli(capsys):
     mod = _load("examples/nbody/train.py", "cli_nbody")
     mod.main(["experiment.num_epochs=1", "experiment.batch_size=8"])
