@@ -92,9 +92,11 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
     resize_shape: Optional[int] = None
     group_type: str = "rotation"
     # "exact": dynamic-gather bilinear warp (differentiable in the rotation,
-    # torch-parity). "fast": eval-only 3-shear pallas kernel
-    # (ops/pallas/shear_rotate.py) — ~44x faster on the target TPU; training
-    # always uses the exact warp so gradients reach the rotation matrix.
+    # torch-parity). "fast": 3-shear pallas kernel (ops/pallas/
+    # shear_rotate.py) — ~68x faster on the target TPU; at training time it
+    # runs through `warp_center_rotation_fast_diff` (custom_vjp with
+    # closed-form warp gradients, ops/warp.py), so gradients still reach
+    # the rotation matrix without the dynamic-gather cost.
     warp_mode: str = "exact"
     # computation dtype for the energy network + warps; None = input dtype
     compute_dtype: Optional[Any] = None
@@ -171,12 +173,19 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
         if element.reflection is not None:
             r = element.reflection[:, None, None, None].astype(x.dtype)
             x = (1.0 - r) * x + r * hflip(x)
-        if self.warp_mode == "fast" and not training:
-            from equiadapt_tpu.ops.pallas.shear_rotate import (
-                warp_rotate_center_fast,
-            )
+        if self.warp_mode == "fast":
+            if training:
+                from equiadapt_tpu.ops.warp import (
+                    warp_center_rotation_fast_diff,
+                )
 
-            x = warp_rotate_center_fast(x, R_inv, self.padding_mode)
+                x = warp_center_rotation_fast_diff(x, R_inv, self.padding_mode)
+            else:
+                from equiadapt_tpu.ops.pallas.shear_rotate import (
+                    warp_rotate_center_fast,
+                )
+
+                x = warp_rotate_center_fast(x, R_inv, self.padding_mode)
         else:
             x = _warp_center_affine(x, R_inv, self.padding_mode)
         x = x.astype(in_dtype)
@@ -202,14 +211,23 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
         if induced_rep_type == "scalar":
             # forward group element: warp by R (then reflect), inverse of
             # canonicalize's (reflect then warp by R^{-1})
-            if self.warp_mode == "fast" and not training:
-                from equiadapt_tpu.ops.pallas.shear_rotate import (
-                    warp_rotate_center_fast,
-                )
+            if self.warp_mode == "fast":
+                if training:
+                    from equiadapt_tpu.ops.warp import (
+                        warp_center_rotation_fast_diff,
+                    )
 
-                y = warp_rotate_center_fast(
-                    x_canonicalized_out, info.element.rotation, "zeros"
-                )
+                    y = warp_center_rotation_fast_diff(
+                        x_canonicalized_out, info.element.rotation, "zeros"
+                    )
+                else:
+                    from equiadapt_tpu.ops.pallas.shear_rotate import (
+                        warp_rotate_center_fast,
+                    )
+
+                    y = warp_rotate_center_fast(
+                        x_canonicalized_out, info.element.rotation, "zeros"
+                    )
             else:
                 y = _warp_center_affine(
                     x_canonicalized_out, info.element.rotation, "zeros"

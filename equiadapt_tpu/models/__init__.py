@@ -21,6 +21,13 @@ from equiadapt_tpu.models.resnet import (
     WideResNet50,
     WideResNet101,
 )
+from equiadapt_tpu.models.convert import (
+    apply_pretrained_to_state,
+    convert_resnet_checkpoint,
+    convert_vit_checkpoint,
+    load_pretrained_prediction,
+    load_torch_state_dict,
+)
 from equiadapt_tpu.models.vit import ViT, ViTB16
 
 __all__ = [
@@ -44,4 +51,9 @@ __all__ = [
     "WideResNet101",
     "ViT",
     "ViTB16",
+    "apply_pretrained_to_state",
+    "convert_resnet_checkpoint",
+    "convert_vit_checkpoint",
+    "load_pretrained_prediction",
+    "load_torch_state_dict",
 ]

@@ -70,6 +70,12 @@ class MaskRCNNLite(nn.Module):
     channels: int = 128
     decoder_depth: int = 1
     num_heads: int = 4
+    # "lite": the small from-scratch conv trunk. "resnet50": torchvision-
+    # layout ResNet-50 trunk (stages C3/C4 + lateral FPN merge) whose
+    # `backbone` params subtree accepts converted pretrained weights
+    # (models/convert.py; the reference's maskrcnn_resnet50_fpn backbone,
+    # segmentation/model_utils.py:14-36)
+    backbone: str = "lite"
     # torchvision box_score_thresh analog: detections below it are zeroed
     # (the reference wrapper's empty-prediction fallback,
     # model_utils.py:74-97, done branch-free with a validity mask)
@@ -91,7 +97,19 @@ class MaskRCNNLite(nn.Module):
         train/eval mode split.
         """
         B, H, W, _ = images.shape
-        feat = _FPNLite(channels=self.channels)(images, training=training)  # (B, h, w, C)
+        if self.backbone == "resnet50":
+            from equiadapt_tpu.models.resnet import ResNet50
+
+            stages = ResNet50(
+                num_classes=None, return_stages=True, name="backbone"
+            )(images, training=training)
+            c3, c4 = stages[1], stages[2]  # strides 8 / 16
+            p3 = nn.Conv(self.channels, (1, 1))(c3)
+            p4 = nn.Conv(self.channels, (1, 1))(c4)
+            up = jax.image.resize(p4, p3.shape, method="nearest")
+            feat = nn.Conv(self.channels, (3, 3), padding=1)(p3 + up)
+        else:
+            feat = _FPNLite(channels=self.channels)(images, training=training)  # (B, h, w, C)
         h, w = feat.shape[1], feat.shape[2]
         stride = H // h
 

@@ -92,6 +92,11 @@ class ResNet(nn.Module):
     block: Callable[..., nn.Module]
     num_classes: int | None = 1000
     small_images: bool = False
+    # return the per-stage feature maps (C2..C5 in FPN terms) instead of
+    # pooled features/logits — the detection-backbone mode (torchvision's
+    # IntermediateLayerGetter analog). Parameter naming is unchanged, so
+    # converted pretrained weights (models/convert.py) load either way.
+    return_stages: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -106,13 +111,17 @@ class ResNet(nn.Module):
         if not self.small_images:
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         filters = 64
+        stages = []
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 x = self.block(filters=filters, stride=stride, dtype=self.dtype)(
                     x, training=training
                 )
+            stages.append(x)
             filters *= 2
+        if self.return_stages:
+            return tuple(stages)
         x = jnp.mean(x, axis=(1, 2))
         if self.num_classes is not None:
             x = nn.Dense(self.num_classes, dtype=self.dtype)(x)

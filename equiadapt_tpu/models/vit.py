@@ -34,7 +34,10 @@ class EncoderBlock(nn.Module):
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype)(h)
-        h = nn.gelu(h)
+        # exact (erf) GELU: torchvision's vit_b_16 MLPBlock uses nn.GELU
+        # with the default erf form; keeping it exact makes converted
+        # pretrained weights (models/convert.py) numerically faithful
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout, deterministic=not training)(h)
         h = nn.Dense(x.shape[-1], dtype=self.dtype)(h)
         return x + h

@@ -117,6 +117,10 @@ class PredictionConfig:
     architecture: str = "resnet50"  # resnet50 | resnet18 | vit
     freeze_encoder: bool = False
     pretrained: bool = False
+    # local torchvision checkpoint (.pth) converted via models/convert.py
+    # when pretrained=true (reference model_utils.py loads weights="DEFAULT";
+    # this environment has no egress, so the file must be provided)
+    pretrained_path: str = ""
     hidden_dim: int = 64
     num_layers: int = 4
     # computation dtype name ("bfloat16" for the production serving mode);

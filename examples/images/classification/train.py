@@ -115,6 +115,20 @@ def main(argv) -> None:
         freeze_prediction=cfg.prediction.freeze_encoder,
     )
     state = create_train_state(pipeline, rng, sample["image"], tx)
+    if cfg.prediction.pretrained:
+        if not cfg.prediction.pretrained_path:
+            raise ValueError(
+                "prediction.pretrained=true needs prediction.pretrained_path "
+                "(a local torchvision .pth; no egress to download DEFAULT "
+                "weights — see models/convert.py)"
+            )
+        from equiadapt_tpu.models.convert import apply_pretrained_to_state
+
+        state = apply_pretrained_to_state(
+            state, cfg.prediction.architecture, cfg.prediction.pretrained_path
+        )
+        print(f"loaded pretrained {cfg.prediction.architecture} weights "
+              f"from {cfg.prediction.pretrained_path}")
 
     loss_kwargs = {
         "task_weight": cfg.experiment.loss.task_weight,

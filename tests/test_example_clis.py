@@ -131,6 +131,27 @@ def test_serving_cli_from_trained_checkpoint(tmp_path, capsys):
     assert "images/s" in out
 
 
+def test_classification_cli_pretrained_weights(tmp_path, capsys):
+    """prediction.pretrained=true converts a local torchvision checkpoint
+    into the prediction subtree (reference model_utils.py:35-60's
+    weights="DEFAULT" flow, egress-free)."""
+    import torch
+
+    from tests.test_pretrained_convert import make_resnet_state_dict
+
+    sd = make_resnet_state_dict([2, 2, 2, 2], bottleneck=False)
+    torch.save(sd, tmp_path / "resnet18.pth")
+    mod = _load("examples/images/classification/train.py", "cli_pre")
+    mod.main(TINY_IMAGE + [
+        "experiment.run_mode=dryrun",
+        "prediction.pretrained=true",
+        f"prediction.pretrained_path={tmp_path}/resnet18.pth",
+    ])
+    out = capsys.readouterr().out
+    assert "loaded pretrained resnet18 weights" in out
+    assert "dryrun ok" in out
+
+
 def test_nbody_cli(capsys):
     mod = _load("examples/nbody/train.py", "cli_nbody")
     mod.main(["experiment.num_epochs=1", "experiment.batch_size=8"])

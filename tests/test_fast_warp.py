@@ -154,3 +154,110 @@ def test_canonicalizer_fast_bf16_matches_exact_fp32():
     assert bool(agree.any()), "all selections flipped; pick a new seed"
     diff = jnp.abs(xc_f - xc_e).max(axis=(1, 2, 3))
     assert float(jnp.where(agree, diff, 0.0).max()) < 0.05, diff
+
+
+# ---------------------------------------------------------------------------
+# differentiable fast continuous warp (warp_center_rotation_fast_diff)
+# ---------------------------------------------------------------------------
+
+
+def _rotmats(angles):
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    return jnp.stack(
+        [jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], axis=-2
+    )
+
+
+def test_fast_diff_warp_forward_matches_fast_kernel():
+    from equiadapt_tpu.ops.pallas.shear_rotate import warp_rotate_center_fast
+    from equiadapt_tpu.ops.warp import warp_center_rotation_fast_diff
+
+    x = _smooth_images(jax.random.key(20), 4, 32)
+    R = _rotmats(jnp.asarray([0.3, -1.2, 2.0, 0.0]))
+    out = warp_center_rotation_fast_diff(x, R, "border")
+    ref = warp_rotate_center_fast(x, R, "border")
+    assert (out == ref).all()
+
+
+def test_fast_diff_warp_grad_R_matches_exact_warp():
+    """Closed-form R-gradient tracks exact-warp autodiff on smooth images
+    (direction within a few degrees, magnitude within ~20%)."""
+    from equiadapt_tpu.images.canonicalization.continuous_group import (
+        _warp_center_affine,
+    )
+    from equiadapt_tpu.ops.warp import warp_center_rotation_fast_diff
+
+    x = _smooth_images(jax.random.key(21), 4, 64)
+    weight = _smooth_images(jax.random.key(22), 4, 64)
+    R = _rotmats(jnp.asarray([0.25, -0.9, 1.7, 2.9]))
+
+    def loss_exact(Rm):
+        return jnp.sum(_warp_center_affine(x, Rm, "border") * weight)
+
+    def loss_fast(Rm):
+        return jnp.sum(warp_center_rotation_fast_diff(x, Rm, "border") * weight)
+
+    g_exact = jax.grad(loss_exact)(R)
+    g_fast = jax.grad(loss_fast)(R)
+    assert bool(jnp.isfinite(g_fast).all())
+    ge = np.asarray(g_exact).reshape(4, -1)
+    gf = np.asarray(g_fast).reshape(4, -1)
+    for b in range(4):
+        cos = ge[b] @ gf[b] / (np.linalg.norm(ge[b]) * np.linalg.norm(gf[b]))
+        assert cos > 0.98, (b, cos)
+        ratio = np.linalg.norm(gf[b]) / np.linalg.norm(ge[b])
+        assert 0.8 < ratio < 1.25, (b, ratio)
+
+
+def test_fast_diff_warp_xbar_adjoint_property():
+    """<g, W(x)> ~ <W^T(g), x>: the inverse-warp input cotangent is a good
+    adjoint for rotations (sample ~ splat on smooth cotangents)."""
+    from equiadapt_tpu.ops.warp import warp_center_rotation_fast_diff
+
+    x = _smooth_images(jax.random.key(23), 2, 64)
+    g = _smooth_images(jax.random.key(24), 2, 64)
+    R = _rotmats(jnp.asarray([0.35, -1.1]))
+    y, vjp = jax.vjp(lambda xx: warp_center_rotation_fast_diff(xx, R, "zeros"), x)
+    xbar, = vjp(g)
+    lhs = float(jnp.sum(g * y))
+    rhs = float(jnp.sum(xbar * x))
+    np.testing.assert_allclose(lhs, rhs, rtol=0.05)
+
+
+def test_continuous_canonicalizer_fast_training_grads_and_output():
+    """warp_mode='fast' + training=True: gradients reach the
+    canonicalization network through the custom-vjp warp, and the training
+    forward stays close to the exact warp (regression for BENCH_r02's
+    693 ms exact-only training path)."""
+    import flax.linen as nn
+
+    from equiadapt_tpu.images.canonicalization.continuous_group import (
+        SteerableImageCanonicalization,
+    )
+
+    class TinyVec(nn.Module):
+        @nn.compact
+        def __call__(self, x, training=False):
+            h = jnp.mean(x, axis=(1, 2))
+            v = nn.Dense(2, kernel_init=nn.initializers.normal(1.0))(h)
+            return v[:, None, :]
+
+    kw = dict(canonicalization_network=TinyVec(), in_shape=(32, 32, 3))
+    fast = SteerableImageCanonicalization(warp_mode="fast", **kw)
+    exact = SteerableImageCanonicalization(**kw)
+    x = _smooth_images(jax.random.key(25), 4, 32)
+    params = exact.init(jax.random.key(26), x, training=True)
+
+    def loss(p, model):
+        xc, info = model.apply(p, x, training=True)
+        return jnp.sum(xc ** 2)
+
+    g_fast = jax.grad(loss)(params, fast)
+    leaves = jax.tree_util.tree_leaves(g_fast)
+    norm = float(jnp.sqrt(sum(jnp.sum(l ** 2) for l in leaves)))
+    assert np.isfinite(norm) and norm > 0
+
+    xc_f, _ = fast.apply(params, x, training=True)
+    xc_e, _ = exact.apply(params, x, training=True)
+    err = jnp.abs(xc_f - xc_e) * _disk_mask(32)
+    assert float(err.max()) < 0.06, float(err.max())

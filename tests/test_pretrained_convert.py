@@ -1,0 +1,379 @@
+"""Oracle parity tests for the torchvision checkpoint converters.
+
+torchvision itself is not installed here, so the oracle is a functional
+torch forward implemented directly from torchvision's documented key schema
+(models/resnet.py and models/vision_transformer.py key names — the same
+naming the reference consumes at examples/images/classification/
+model_utils.py:35-60). Random state dicts are generated with those exact
+keys, run through the torch oracle, converted with models/convert.py, and
+the flax forward must match within fp32 tolerance.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from equiadapt_tpu.models import ResNet18, ResNet50, ViT
+from equiadapt_tpu.models.convert import (
+    convert_resnet_checkpoint,
+    convert_vit_checkpoint,
+)
+
+# ---------------------------------------------------------------------------
+# state-dict generators (torchvision key naming)
+# ---------------------------------------------------------------------------
+
+
+def _conv_w(rng, o, i, k):
+    std = math.sqrt(2.0 / (i * k * k))
+    return torch.tensor(rng.normal(0, std, (o, i, k, k)), dtype=torch.float32)
+
+
+def _bn(sd, rng, prefix, c):
+    sd[f"{prefix}.weight"] = torch.tensor(rng.uniform(0.6, 1.4, c), dtype=torch.float32)
+    sd[f"{prefix}.bias"] = torch.tensor(rng.normal(0, 0.05, c), dtype=torch.float32)
+    sd[f"{prefix}.running_mean"] = torch.tensor(rng.normal(0, 0.05, c), dtype=torch.float32)
+    sd[f"{prefix}.running_var"] = torch.tensor(rng.uniform(0.5, 1.5, c), dtype=torch.float32)
+    sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+
+def make_resnet_state_dict(stage_sizes, bottleneck, num_classes=1000, seed=0):
+    """Random weights with exact torchvision ResNet key names."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+    sd["conv1.weight"] = _conv_w(rng, 64, 3, 7)
+    _bn(sd, rng, "bn1", 64)
+    in_ch = 64
+    expansion = 4 if bottleneck else 1
+    width = 64
+    for stage, n_blocks in enumerate(stage_sizes, start=1):
+        for j in range(n_blocks):
+            pre = f"layer{stage}.{j}"
+            stride = 2 if (stage > 1 and j == 0) else 1
+            out_ch = width * expansion
+            if bottleneck:
+                sd[f"{pre}.conv1.weight"] = _conv_w(rng, width, in_ch, 1)
+                _bn(sd, rng, f"{pre}.bn1", width)
+                sd[f"{pre}.conv2.weight"] = _conv_w(rng, width, width, 3)
+                _bn(sd, rng, f"{pre}.bn2", width)
+                sd[f"{pre}.conv3.weight"] = _conv_w(rng, out_ch, width, 1)
+                _bn(sd, rng, f"{pre}.bn3", out_ch)
+            else:
+                sd[f"{pre}.conv1.weight"] = _conv_w(rng, width, in_ch, 3)
+                _bn(sd, rng, f"{pre}.bn1", width)
+                sd[f"{pre}.conv2.weight"] = _conv_w(rng, width, width, 3)
+                _bn(sd, rng, f"{pre}.bn2", width)
+            if stride != 1 or in_ch != out_ch:
+                sd[f"{pre}.downsample.0.weight"] = _conv_w(rng, out_ch, in_ch, 1)
+                _bn(sd, rng, f"{pre}.downsample.1", out_ch)
+            in_ch = out_ch
+        width *= 2
+    sd["fc.weight"] = torch.tensor(
+        rng.normal(0, 0.01, (num_classes, in_ch)), dtype=torch.float32
+    )
+    sd["fc.bias"] = torch.tensor(rng.normal(0, 0.01, num_classes), dtype=torch.float32)
+    return sd
+
+
+def make_vit_state_dict(depth=2, hidden=32, heads=4, mlp=64, patch=8,
+                        img=16, num_classes=1000, seed=0,
+                        mlp_naming="mlp.0"):
+    rng = np.random.default_rng(seed)
+    t = lambda *s: torch.tensor(rng.normal(0, 0.05, s), dtype=torch.float32)
+    n_tokens = (img // patch) ** 2 + 1
+    sd = {
+        "conv_proj.weight": t(hidden, 3, patch, patch),
+        "conv_proj.bias": t(hidden),
+        "class_token": t(1, 1, hidden),
+        "encoder.pos_embedding": t(1, n_tokens, hidden),
+        "encoder.ln.weight": t(hidden) + 1.0,
+        "encoder.ln.bias": t(hidden),
+        "heads.head.weight": t(num_classes, hidden),
+        "heads.head.bias": t(num_classes),
+    }
+    for i in range(depth):
+        pre = f"encoder.layers.encoder_layer_{i}"
+        sd[f"{pre}.ln_1.weight"] = t(hidden) + 1.0
+        sd[f"{pre}.ln_1.bias"] = t(hidden)
+        sd[f"{pre}.self_attention.in_proj_weight"] = t(3 * hidden, hidden)
+        sd[f"{pre}.self_attention.in_proj_bias"] = t(3 * hidden)
+        sd[f"{pre}.self_attention.out_proj.weight"] = t(hidden, hidden)
+        sd[f"{pre}.self_attention.out_proj.bias"] = t(hidden)
+        sd[f"{pre}.ln_2.weight"] = t(hidden) + 1.0
+        sd[f"{pre}.ln_2.bias"] = t(hidden)
+        lin1, lin2 = (("mlp.0", "mlp.3") if mlp_naming == "mlp.0"
+                      else ("mlp.linear_1", "mlp.linear_2"))
+        sd[f"{pre}.{lin1}.weight"] = t(mlp, hidden)
+        sd[f"{pre}.{lin1}.bias"] = t(mlp)
+        sd[f"{pre}.{lin2}.weight"] = t(hidden, mlp)
+        sd[f"{pre}.{lin2}.bias"] = t(hidden)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# torch functional oracles (torchvision forward semantics)
+# ---------------------------------------------------------------------------
+
+
+def torch_resnet_forward(sd, x, bottleneck):
+    def bn(y, p):
+        return F.batch_norm(y, sd[f"{p}.running_mean"], sd[f"{p}.running_var"],
+                            sd[f"{p}.weight"], sd[f"{p}.bias"],
+                            training=False, eps=1e-5)
+
+    x = F.conv2d(x, sd["conv1.weight"], stride=2, padding=3)
+    x = F.relu(bn(x, "bn1"))
+    x = F.max_pool2d(x, 3, 2, 1)
+    for stage in (1, 2, 3, 4):
+        j = 0
+        while f"layer{stage}.{j}.conv1.weight" in sd:
+            pre = f"layer{stage}.{j}"
+            stride = 2 if (stage > 1 and j == 0) else 1
+            identity = x
+            if bottleneck:
+                out = F.relu(bn(F.conv2d(x, sd[f"{pre}.conv1.weight"]), f"{pre}.bn1"))
+                out = F.relu(bn(F.conv2d(out, sd[f"{pre}.conv2.weight"],
+                                         stride=stride, padding=1), f"{pre}.bn2"))
+                out = bn(F.conv2d(out, sd[f"{pre}.conv3.weight"]), f"{pre}.bn3")
+            else:
+                out = F.relu(bn(F.conv2d(x, sd[f"{pre}.conv1.weight"],
+                                         stride=stride, padding=1), f"{pre}.bn1"))
+                out = bn(F.conv2d(out, sd[f"{pre}.conv2.weight"], padding=1),
+                         f"{pre}.bn2")
+            if f"{pre}.downsample.0.weight" in sd:
+                identity = bn(F.conv2d(x, sd[f"{pre}.downsample.0.weight"],
+                                       stride=stride), f"{pre}.downsample.1")
+            x = F.relu(out + identity)
+            j += 1
+    x = x.mean((2, 3))
+    return x @ sd["fc.weight"].T + sd["fc.bias"]
+
+
+def torch_vit_forward(sd, x, heads):
+    C = sd["conv_proj.weight"].shape[0]
+    patch = sd["conv_proj.weight"].shape[-1]
+    p = F.conv2d(x, sd["conv_proj.weight"], sd["conv_proj.bias"], stride=patch)
+    B, _, h, w = p.shape
+    p = p.reshape(B, C, h * w).permute(0, 2, 1)
+    x = torch.cat([sd["class_token"].expand(B, -1, -1), p], 1)
+    x = x + sd["encoder.pos_embedding"]
+    hd = C // heads
+
+    def shape(t):
+        return t.reshape(B, -1, heads, hd).transpose(1, 2)
+
+    i = 0
+    while f"encoder.layers.encoder_layer_{i}.ln_1.weight" in sd:
+        pre = f"encoder.layers.encoder_layer_{i}"
+        # torchvision ViT LayerNorms use eps=1e-6 (vision_transformer.py's
+        # norm_layer partial) — matching flax's default
+        h1 = F.layer_norm(x, (C,), sd[f"{pre}.ln_1.weight"],
+                          sd[f"{pre}.ln_1.bias"], eps=1e-6)
+        qkv = h1 @ sd[f"{pre}.self_attention.in_proj_weight"].T \
+            + sd[f"{pre}.self_attention.in_proj_bias"]
+        q, k, v = qkv.chunk(3, -1)
+        att = torch.softmax(shape(q) @ shape(k).transpose(-2, -1) / math.sqrt(hd), -1)
+        o = (att @ shape(v)).transpose(1, 2).reshape(B, -1, C)
+        o = o @ sd[f"{pre}.self_attention.out_proj.weight"].T \
+            + sd[f"{pre}.self_attention.out_proj.bias"]
+        x = x + o
+        lin1 = "mlp.0" if f"{pre}.mlp.0.weight" in sd else "mlp.linear_1"
+        lin2 = "mlp.3" if f"{pre}.mlp.3.weight" in sd else "mlp.linear_2"
+        h2 = F.layer_norm(x, (C,), sd[f"{pre}.ln_2.weight"],
+                          sd[f"{pre}.ln_2.bias"], eps=1e-6)
+        h2 = F.gelu(h2 @ sd[f"{pre}.{lin1}.weight"].T + sd[f"{pre}.{lin1}.bias"])
+        h2 = h2 @ sd[f"{pre}.{lin2}.weight"].T + sd[f"{pre}.{lin2}.bias"]
+        x = x + h2
+        i += 1
+    x = F.layer_norm(x, (C,), sd["encoder.ln.weight"], sd["encoder.ln.bias"],
+                     eps=1e-6)
+    return x[:, 0] @ sd["heads.head.weight"].T + sd["heads.head.bias"]
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def _flax_forward(model, variables, x_nhwc):
+    return model.apply(variables, jnp.asarray(x_nhwc), training=False)
+
+
+def test_resnet18_convert_matches_torch_oracle():
+    sd = make_resnet_state_dict([2, 2, 2, 2], bottleneck=False)
+    model = ResNet18(num_classes=1000)
+    x = np.random.default_rng(1).normal(0, 1, (2, 3, 32, 32)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    converted = convert_resnet_checkpoint(sd, variables)
+    ours = _flax_forward(model, converted, x.transpose(0, 2, 3, 1))
+    theirs = torch_resnet_forward(sd, torch.tensor(x), bottleneck=False).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_resnet50_convert_matches_torch_oracle():
+    sd = make_resnet_state_dict([3, 4, 6, 3], bottleneck=True)
+    model = ResNet50(num_classes=1000)
+    x = np.random.default_rng(2).normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    converted = convert_resnet_checkpoint(sd, variables)
+    ours = _flax_forward(model, converted, x.transpose(0, 2, 3, 1))
+    theirs = torch_resnet_forward(sd, torch.tensor(x), bottleneck=True).numpy()
+    # random weights amplify logits to O(1e3) through 50 layers; compare
+    # relative to that scale (observed diff is fp32 accumulation-order noise)
+    scale = np.abs(theirs).max()
+    np.testing.assert_allclose(
+        np.asarray(ours) / scale, theirs / scale, atol=1e-5
+    )
+
+
+def test_resnet_convert_cifar_stem_and_head_surgery():
+    """small_images template keeps its fresh 3x3 stem and 10-class head
+    (the reference's surgeries, model_utils.py:61-79); everything else
+    converts and every checkpoint key is still consumed."""
+    sd = make_resnet_state_dict([2, 2, 2, 2], bottleneck=False)
+    model = ResNet18(num_classes=10, small_images=True)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    converted = convert_resnet_checkpoint(sd, variables)
+    # stem + head kept from template
+    np.testing.assert_array_equal(
+        converted["params"]["Conv_0"]["kernel"],
+        np.asarray(variables["params"]["Conv_0"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        converted["params"]["Dense_0"]["kernel"],
+        np.asarray(variables["params"]["Dense_0"]["kernel"]),
+    )
+    # interior block weights converted
+    np.testing.assert_allclose(
+        converted["params"]["BasicBlock_0"]["Conv_0"]["kernel"],
+        sd["layer1.0.conv1.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    # bn1 converts even under stem surgery (reference replaces conv only)
+    np.testing.assert_allclose(
+        converted["batch_stats"]["BatchNorm_0"]["mean"],
+        sd["bn1.running_mean"].numpy(),
+    )
+
+
+def test_resnet_convert_rejects_depth_mismatch():
+    sd = make_resnet_state_dict([2, 2, 2, 2], bottleneck=False)
+    model = ResNet18(num_classes=1000)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    sd.pop("layer4.1.conv1.weight")  # truncate -> block count mismatch
+    with pytest.raises(ValueError):
+        convert_resnet_checkpoint(sd, variables)
+
+
+def test_resnet_convert_rejects_unconsumed_keys():
+    sd = make_resnet_state_dict([2, 2, 2, 2], bottleneck=False)
+    sd["layer9.0.conv1.weight"] = sd["layer1.0.conv1.weight"]
+    model = ResNet18(num_classes=1000)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    with pytest.raises(ValueError, match="not consumed"):
+        convert_resnet_checkpoint(sd, variables)
+
+
+@pytest.mark.parametrize("mlp_naming", ["mlp.0", "mlp.linear_1"])
+def test_vit_convert_matches_torch_oracle(mlp_naming):
+    heads = 4
+    sd = make_vit_state_dict(mlp_naming=mlp_naming)
+    model = ViT(num_classes=1000, patch_size=8, hidden_dim=32, num_layers=2,
+                num_heads=heads, mlp_dim=64)
+    x = np.random.default_rng(3).normal(0, 1, (2, 3, 16, 16)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    params = convert_vit_checkpoint(sd, variables["params"])
+    ours = model.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       training=False)
+    theirs = torch_vit_forward(sd, torch.tensor(x), heads=heads).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5, rtol=2e-5)
+
+
+def test_vit_convert_head_surgery_and_leaf_consumption():
+    sd = make_vit_state_dict(num_classes=1000)
+    model = ViT(num_classes=10, patch_size=8, hidden_dim=32, num_layers=2,
+                num_heads=4, mlp_dim=64)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)))
+    params = convert_vit_checkpoint(sd, variables["params"])
+    np.testing.assert_array_equal(
+        params["Dense_0"]["kernel"],
+        np.asarray(variables["params"]["Dense_0"]["kernel"]),
+    )
+    np.testing.assert_allclose(params["cls_token"], sd["class_token"].numpy())
+
+
+@pytest.mark.slow
+def test_maskrcnn_resnet50_backbone_accepts_converted_weights():
+    """MaskRCNNLite(backbone='resnet50'): the `backbone` subtree loads a
+    full torchvision ResNet-50 checkpoint (fc consumed-and-dropped since
+    the trunk is headless) — the reference's pretrained
+    maskrcnn_resnet50_fpn backbone story (segmentation/model_utils.py:14-36)."""
+    from equiadapt_tpu.models.detection import MaskRCNNLite
+    from equiadapt_tpu.models.convert import (
+        convert_resnet_checkpoint,
+        _get_path,
+    )
+
+    model = MaskRCNNLite(num_classes=5, max_instances=4, channels=32,
+                         backbone="resnet50")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, training=False)
+    sd = make_resnet_state_dict([3, 4, 6, 3], bottleneck=True)
+    bb = {
+        "params": variables["params"]["backbone"],
+        "batch_stats": variables["batch_stats"]["backbone"],
+    }
+    converted = convert_resnet_checkpoint(sd, bb)  # every leaf consumed
+    np.testing.assert_allclose(
+        converted["params"]["Bottleneck_0"]["Conv_0"]["kernel"],
+        sd["layer1.0.conv1.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    # forward still runs with the converted trunk
+    new_vars = {
+        "params": dict(variables["params"]) | {"backbone": converted["params"]},
+        "batch_stats": dict(variables["batch_stats"])
+        | {"backbone": converted["batch_stats"]},
+    }
+    out = model.apply(new_vars, x, training=False)
+    assert out["pred_masks"].shape[0] == 1
+
+
+def test_apply_pretrained_to_state_nested_subtree(tmp_path):
+    """apply_pretrained_to_state with a tuple path targets nested subtrees
+    and round-trips through a real torch.save file."""
+    import flax
+    import optax
+    from flax.training import train_state as ts
+
+    class State(ts.TrainState):
+        batch_stats: object = None
+
+    sd = make_resnet_state_dict([2, 2, 2, 2], bottleneck=False)
+    torch.save(sd, tmp_path / "r18.pth")
+
+    model = ResNet18(num_classes=1000)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    params = flax.core.freeze({"prediction_network": variables["params"]})
+    stats = flax.core.freeze({"prediction_network": variables["batch_stats"]})
+    state = State.create(apply_fn=model.apply, params=params,
+                         tx=optax.sgd(0.0), batch_stats=stats)
+
+    from equiadapt_tpu.models.convert import apply_pretrained_to_state
+
+    new = apply_pretrained_to_state(
+        state, "resnet18", str(tmp_path / "r18.pth"),
+        subtree=("prediction_network",),
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.params["prediction_network"]["BasicBlock_0"]["Conv_0"]["kernel"]),
+        sd["layer1.0.conv1.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(new.batch_stats["prediction_network"]["BatchNorm_0"]["var"]),
+        sd["bn1.running_var"].numpy(),
+    )
