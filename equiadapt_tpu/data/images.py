@@ -31,7 +31,10 @@ __all__ = [
     "load_cifar100",
     "load_stl10",
     "load_rotated_mnist",
+    "imagenet_index",
+    "imagenet_batch_iterator",
     "image_batch_iterator",
+    "get_image_dataset",
     "rand_augment",
     "DATASET_STATS",
 ]
@@ -138,6 +141,176 @@ def load_rotated_mnist(data_path: str) -> Tuple[Dict[str, np.ndarray], Dict[str,
         return {"image": _normalize(x, "rotated_mnist").astype(np.float32), "label": y}
 
     return _load(train_f), _load(test_f)
+
+
+def imagenet_index(data_path: str, split: str):
+    """ImageFolder-style index of `data_path/{split}/<class>/<image>` files.
+
+    The reference builds the same structure with
+    torchvision.datasets.ImageFolder (prepare/imagenet_data.py:113-122);
+    classes are the sorted directory names, labels their sorted order.
+    """
+    root = os.path.join(data_path, split)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(
+            f"ImageNet split not found at {root}; this environment cannot "
+            "download datasets — place ImageFolder-layout data there "
+            "(train/<wnid>/*.JPEG) or use dataset.dataset_name=synthetic"
+        )
+    classes = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    paths, labels = [], []
+    exts = (".jpeg", ".jpg", ".png", ".bmp", ".webp")
+    for li, cls in enumerate(classes):
+        for fname in sorted(os.listdir(os.path.join(root, cls))):
+            if fname.lower().endswith(exts):
+                paths.append(os.path.join(root, cls, fname))
+                labels.append(li)
+    if not paths:
+        raise FileNotFoundError(f"no images under {root}")
+    return paths, np.asarray(labels, np.int32), classes
+
+
+def _imagenet_decode_train(path: str, image_size: int, rng: np.random.Generator) -> np.ndarray:
+    """RandomResizedCrop(size, bilinear) + ToTensor semantics (reference
+    prepare/imagenet_data.py:55-61): random area in [0.08, 1] and aspect in
+    [3/4, 4/3] (log-uniform), 10 attempts then center-crop fallback."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        W, H = im.size
+        area = W * H
+        for _ in range(10):
+            target_area = area * rng.uniform(0.08, 1.0)
+            aspect = np.exp(rng.uniform(np.log(3.0 / 4.0), np.log(4.0 / 3.0)))
+            w = int(round(np.sqrt(target_area * aspect)))
+            h = int(round(np.sqrt(target_area / aspect)))
+            if 0 < w <= W and 0 < h <= H:
+                left = int(rng.integers(0, W - w + 1))
+                top = int(rng.integers(0, H - h + 1))
+                im = im.resize(
+                    (image_size, image_size), Image.BILINEAR,
+                    box=(left, top, left + w, top + h),
+                )
+                break
+        else:  # torchvision's fallback: center crop at the image's aspect
+            scale = min(W, H)
+            left, top = (W - scale) // 2, (H - scale) // 2
+            im = im.resize(
+                (image_size, image_size), Image.BILINEAR,
+                box=(left, top, left + scale, top + scale),
+            )
+        return np.asarray(im, np.float32) / 255.0
+
+
+def _imagenet_decode_eval(path: str, image_size: int) -> np.ndarray:
+    """Resize(shorter -> 256 * size/224, bilinear) + CenterCrop(size)
+    (reference prepare/imagenet_data.py:69-76)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        W, H = im.size
+        short = int(round(256 * image_size / 224))
+        if W <= H:
+            nw, nh = short, int(round(H * short / W))
+        else:
+            nw, nh = int(round(W * short / H)), short
+        im = im.resize((nw, nh), Image.BILINEAR)
+        left, top = (nw - image_size) // 2, (nh - image_size) // 2
+        im = im.crop((left, top, left + image_size, top + image_size))
+        return np.asarray(im, np.float32) / 255.0
+
+
+def imagenet_batch_iterator(
+    rng: jax.Array,
+    data_path: str,
+    split: str = "train",
+    batch_size: int = 256,
+    image_size: int = 224,
+    num_batches: Optional[int] = None,
+    num_workers: int = 8,
+) -> Iterator[Dict[str, Array]]:
+    """Streaming ImageNet batches: shuffled (train) ImageFolder traversal,
+    per-image RandomResizedCrop+flip (train) / resize+center-crop (val),
+    ImageNet normalization — decoded by a thread pool (the DataLoader
+    num_workers analog, reference prepare/imagenet_data.py:124-131; PIL
+    decode releases the GIL)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths, labels, _ = imagenet_index(data_path, split)
+    n = len(paths)
+    train = split == "train"
+    seed = int(jax.random.randint(jax.random.fold_in(rng, 3), (), 0, 2**31 - 1))
+    host_rng = np.random.default_rng(seed)
+    order = host_rng.permutation(n) if train else np.arange(n)
+    total = n // batch_size if train else (n + batch_size - 1) // batch_size
+    if num_batches is not None:
+        total = min(total, num_batches)
+
+    def _decode(args):
+        i, path = args
+        if train:
+            img = _imagenet_decode_train(
+                path, image_size, np.random.default_rng(seed ^ (i * 2654435761))
+            )
+            if (seed ^ (i * 40503)) % 2:  # RandomHorizontalFlip(0.5)
+                img = img[:, ::-1, :]
+        else:
+            img = _imagenet_decode_eval(path, image_size)
+        return _normalize(img, "imagenet").astype(np.float32)
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for b in range(total):
+            idx = order[b * batch_size : (b + 1) * batch_size]
+            imgs = list(pool.map(_decode, [(int(i), paths[i]) for i in idx]))
+            yield {
+                "image": jnp.asarray(np.stack(imgs)),
+                "label": jnp.asarray(labels[idx]),
+            }
+
+
+_DATA_CACHE: Dict[tuple, tuple] = {}
+
+
+def get_image_dataset(cfg, rng: jax.Array, num_batches: int) -> Iterator[Dict[str, Array]]:
+    """Datamodule registry dispatch (reference train_utils.py:117-130):
+    dataset_name -> loader + augmented train-batch iterator. In-memory
+    datasets are cached per (name, path) across epochs; ImageNet streams."""
+    name = cfg.dataset.dataset_name
+    bs = cfg.experiment.batch_size
+    if name == "imagenet":
+        yield from imagenet_batch_iterator(
+            rng, cfg.dataset.data_path, "train", bs,
+            image_size=cfg.dataset.image_size, num_batches=num_batches,
+        )
+        return
+    loaders = {
+        "cifar10": load_cifar10,
+        "cifar100": load_cifar100,
+        "stl10": load_stl10,
+        "rotated_mnist": load_rotated_mnist,
+    }
+    if name not in loaders:
+        raise ValueError(
+            f"unknown dataset '{name}' (expected one of "
+            f"{sorted(loaders) + ['imagenet', 'synthetic']})"
+        )
+    key = (name, cfg.dataset.data_path)
+    if key not in _DATA_CACHE:
+        _DATA_CACHE[key] = loaders[name](cfg.dataset.data_path)
+    train, _test = _DATA_CACHE[key]
+    it = image_batch_iterator(
+        rng, train, bs, augment=cfg.dataset.augment,
+        num_rotations=cfg.canonicalization.network_hyperparams.num_rotations,
+        dataset_name=name,
+    )
+    for i, batch in enumerate(it):
+        if i >= num_batches:
+            break
+        yield batch
 
 
 def rand_augment(

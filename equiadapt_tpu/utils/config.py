@@ -175,6 +175,14 @@ class Config:
             node[parts[-1]] = _parse_value(raw)
         return Config.from_dict(d)
 
+    def merged(self, partial: Dict[str, Any]) -> "Config":
+        """Deep-merge a partial nested dict (e.g. a YAML group file) over
+        this config; unknown keys are ignored (the reference's Hydra configs
+        carry framework-specific keys like `device`/`core`)."""
+        d = self.to_dict()
+        _deep_update(d, partial)
+        return Config.from_dict(d)
+
 
 def _cfg_from(cls, d: Dict[str, Any]):
     kwargs = {}
@@ -208,12 +216,78 @@ def _parse_value(raw: str) -> Any:
     return r
 
 
+def _deep_update(dst: Dict[str, Any], src: Dict[str, Any]) -> None:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+
+
 def load_yaml(path: str) -> Config:
     """Load a config YAML (same key taxonomy as the reference's groups)."""
     import yaml
 
     with open(path) as f:
         return Config.from_dict(yaml.safe_load(f))
+
+
+def compose_config(
+    argv,
+    config_dir: Optional[str] = None,
+    base=(),
+    start: Optional[Config] = None,
+) -> Config:
+    """Hydra-style config composition for the example CLIs.
+
+    Mirrors the reference's `@hydra.main(config_path="./configs")` +
+    defaults-list semantics (reference examples/*/configs/default.yaml):
+
+    * `config=<path>`    — merge a full YAML file over the defaults;
+    * `<group>=<name>`   — bare (dot-free) selector resolving to
+      `<config_dir>/<group>/<name>.yaml`, merged as that group's subtree
+      (e.g. `canonicalization=opt_group_equivariant`, the reference's
+      primary override style from its README run commands);
+    * `a.b.c=value`      — dotted leaf overrides, applied LAST so the CLI
+      always wins over files (Hydra's override order).
+
+    `base` holds the example's built-in defaults (applied first); `start`
+    replaces the dataclass defaults as the root config (e.g. a config
+    restored from a checkpoint).
+    """
+    import os
+
+    import yaml
+
+    cfg = (start if start is not None else Config()).override(*base)
+    dotted = []
+    for a in argv:
+        key, sep, val = a.partition("=")
+        if not sep:
+            raise ValueError(f"override '{a}' is not of the form key=value")
+        if key == "config":
+            with open(val) as f:
+                cfg = cfg.merged(yaml.safe_load(f) or {})
+        elif "." not in key:
+            if config_dir is None:
+                raise ValueError(
+                    f"group override '{a}' needs a configs/ directory"
+                )
+            path = os.path.join(config_dir, key, f"{val}.yaml")
+            if not os.path.isfile(path):
+                raise FileNotFoundError(
+                    f"config group file not found: {path}"
+                )
+            with open(path) as f:
+                group = yaml.safe_load(f) or {}
+            # accept both group-file styles: bare content (the reference's
+            # Hydra convention) and content wrapped in the group key
+            if set(group) == {key}:
+                group = group[key]
+            cfg = cfg.merged({key: group})
+        else:
+            dotted.append(a)
+    return cfg.override(*dotted)
 
 
 def load_env_file(path: str = ".env") -> Dict[str, str]:

@@ -18,6 +18,7 @@ Dotted overrides as in train.py; with no checkpoint it serves fresh
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -28,6 +29,7 @@ from equiadapt_tpu.data import synthetic_image_batch
 from equiadapt_tpu.pipelines import ImageClassifierPipeline
 from equiadapt_tpu.utils import (
     Config,
+    compose_config,
     get_image_canonicalization_network,
     get_image_canonicalizer,
     get_image_prediction_network,
@@ -66,13 +68,21 @@ def compile_forward(pipeline, variables, batch_shape):
 
 
 def main(argv) -> None:
-    cfg = Config().override(*argv)
+    cfg = compose_config(
+        argv, config_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+    )
     # restore only when the user explicitly pointed at a checkpoint (the
     # config default "./checkpoints" must not silently pick up stray dirs)
     explicit_ckpt = any(a.startswith("checkpoint.checkpoint_path=") for a in argv)
     if explicit_ckpt:
         try:
-            cfg = restore_config(cfg.checkpoint.checkpoint_path).override(*argv)
+            cfg = compose_config(
+                argv,
+                config_dir=os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "configs"
+                ),
+                start=restore_config(cfg.checkpoint.checkpoint_path),
+            )
         except FileNotFoundError:
             pass
     pipeline = build_serving_pipeline(cfg)

@@ -15,6 +15,7 @@ checkpoint.checkpoint_path set.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -39,6 +40,7 @@ from equiadapt_tpu.pipelines import (
 )
 from equiadapt_tpu.utils import (
     Config,
+    compose_config,
     get_image_canonicalization_network,
     get_image_canonicalizer,
     get_image_prediction_network,
@@ -83,7 +85,9 @@ def get_batches(cfg: Config, rng, num_batches: int):
 
 
 def main(argv) -> None:
-    cfg = Config().override(*argv)
+    cfg = compose_config(
+        argv, config_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
+    )
     if cfg.checkpoint.checkpoint_name and cfg.checkpoint.checkpoint_path:
         # named run directory under checkpoint_path (ModelCheckpoint
         # filename analog, reference train_utils.py:99-105)

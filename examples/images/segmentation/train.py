@@ -12,6 +12,7 @@ local COCO is present (zero egress).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -27,6 +28,7 @@ from equiadapt_tpu.pipelines.segmentation import (
 from equiadapt_tpu.models.segmentation import SAMLite
 from equiadapt_tpu.utils import (
     Config,
+    compose_config,
     get_image_canonicalization_network,
     get_image_canonicalizer,
 )
@@ -34,10 +36,13 @@ from equiadapt_tpu.utils.metrics import MetricLogger
 
 
 def main(argv) -> None:
-    cfg = Config().override(
-        "dataset.image_size=128",
+    cfg = compose_config(
+        argv,
+        config_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs"),
+        base=[
+            "dataset.image_size=128",
         "canonicalization.network_hyperparams.out_channels=8",
-        *argv,
+        ],
     )
     rng = jax.random.key(cfg.experiment.seed)
     size = cfg.dataset.image_size

@@ -13,6 +13,7 @@ mode here evaluates MSE on a held-out simulated split.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -27,6 +28,7 @@ from equiadapt_tpu.pipelines import (
 )
 from equiadapt_tpu.utils import (
     Config,
+    compose_config,
     get_nbody_canonicalizer,
     get_nbody_prediction_network,
 )
@@ -35,11 +37,14 @@ from equiadapt_tpu.utils.metrics import MetricLogger
 
 
 def main(argv) -> None:
-    cfg = Config().override(
-        "prediction.architecture=GNN",
+    cfg = compose_config(
+        argv,
+        config_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs"),
+        base=[
+            "prediction.architecture=GNN",
         "canonicalization.canonicalization_type=continuous_group",
         "canonicalization.network_hyperparams.canon_feature=pv",
-        *argv,
+        ],
     )
     rng = jax.random.key(cfg.experiment.seed)
     nb = cfg.dataset.num_nodes_graph  # particles per graph (no hard-coded 5)

@@ -11,6 +11,7 @@ reference's pytorch3d-based maybe_transform_points.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -26,6 +27,7 @@ from equiadapt_tpu.pipelines import (
 from equiadapt_tpu.pipelines.pointcloud import classification_metrics, random_rotate
 from equiadapt_tpu.utils import (
     Config,
+    compose_config,
     get_pointcloud_canonicalizer,
     get_pointcloud_prediction_network,
 )
@@ -33,11 +35,14 @@ from equiadapt_tpu.utils.metrics import MetricLogger
 
 
 def main(argv) -> None:
-    cfg = Config().override(
-        "canonicalization.canonicalization_type=continuous_group",
+    cfg = compose_config(
+        argv,
+        config_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs"),
+        base=[
+            "canonicalization.canonicalization_type=continuous_group",
         "prediction.architecture=pointnet",
         "dataset.num_classes=8",
-        *argv,
+        ],
     )
     rng = jax.random.key(cfg.experiment.seed)
     nc = cfg.dataset.num_classes

@@ -9,6 +9,7 @@ synthetic task (parts = octants of the canonicalized cloud).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -21,7 +22,7 @@ from equiadapt_tpu.pipelines import (
     create_pointcloud_state,
 )
 from equiadapt_tpu.pipelines.pointcloud import random_rotate
-from equiadapt_tpu.utils import Config, get_pointcloud_canonicalizer
+from equiadapt_tpu.utils import Config, compose_config, get_pointcloud_canonicalizer
 from equiadapt_tpu.utils.metrics import MetricLogger
 from equiadapt_tpu.common.info import (
     IdentityCanonicalizationInfo,
@@ -43,9 +44,12 @@ def synthetic_partseg_batch(rng, batch, num_points=256, num_categories=4):
 
 
 def main(argv) -> None:
-    cfg = Config().override(
-        "canonicalization.canonicalization_type=continuous_group",
-        *argv,
+    cfg = compose_config(
+        argv,
+        config_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs"),
+        base=[
+            "canonicalization.canonicalization_type=continuous_group",
+        ],
     )
     rng = jax.random.key(cfg.experiment.seed)
     num_parts, num_cats = 8, 4
