@@ -112,6 +112,15 @@ class EquivariantNetwork(nn.Module):
     num_rotations: int = 4
     num_layers: int = 2
     dropout_rate: float = 0.5
+    # 2x2 average pool (stride 2) after the lift block. On even-size inputs
+    # a 2x2/s2 avg pool commutes EXACTLY with rot90 (pooling windows map
+    # bijectively onto pooling windows: (y, x) -> (x, S-1-y) sends window
+    # (Y, X) to (X, S/2-1-Y)), so the C4-subgroup equivariance of the
+    # energy is preserved bit-for-bit while the group convs run at 1/4 the
+    # spatial cost — the serving-mode energy configuration (bench.py).
+    # Default off: the reference's ESCNN stack has no downsampling
+    # (escnn_networks.py:69-90).
+    pool_after_lift: bool = False
 
     @property
     def num_group(self) -> int:
@@ -129,6 +138,8 @@ class EquivariantNetwork(nn.Module):
         y = FiberBatchNorm(num_group=G)(y, training=training)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout_rate, deterministic=not training)(y)
+        if self.pool_after_lift:
+            y = nn.avg_pool(y, (2, 2), strides=(2, 2))
         for _ in range(self.num_layers - 2):
             y = _gconv(self.group_type)(
                 in_channels=self.out_channels,

@@ -125,29 +125,62 @@ def _pallas_select(sources: Array, src_idx: Array, k_idx: Array, interpret: bool
     )(src_idx.astype(jnp.int32), k_idx.astype(jnp.int32), sources)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.lru_cache(maxsize=None)
+def _c_n_decomposition(n: int, sign: float):
+    """Residual/quarter-turn decomposition of the C_n select angles.
+
+    rotate(x, sign * theta_g) == rot90^{k_of[g]}(rotate(x, residues[src_of[g]]))
+    on square images, with residues in [0, 90) (residues[0] == 0, the
+    identity source). Number of distinct residues decides how many warped
+    source copies the steered kernels need: 2 for C8, 3 for C6/C12, 4 for
+    C16; odd orders degenerate towards n/2 sources and fall back to blends.
+    """
+    residues = [0.0]
+    src_of, k_of = [], []
+    for g in range(n):
+        ang = (sign * (360.0 * g / n)) % 360.0
+        r = round(ang % 90.0, 6)
+        k = int(round((ang - r) / 90.0)) % 4
+        if r != 0.0 and r not in residues:
+            residues.append(r)
+        src_of.append(0 if r == 0.0 else residues.index(r))
+        k_of.append(k)
+    return tuple(residues), tuple(src_of), tuple(k_of)
+
+
 def _pallas_select2(
     xn: Array, yn: Array, src_idx: Array, k_idx: Array, interpret: bool = False
 ) -> Array:
-    """Two-source select: per sample pick plane (b, c) from `xn` (src 0) or
-    `yn` (src 1), both (B, C, H, W), and rot90 it by k_idx[b].
+    """Two-source select (see `_pallas_selectn`)."""
+    return _pallas_selectn((xn, yn), src_idx, k_idx, interpret=interpret)
 
-    Unlike `_pallas_select`, the two sources stay separate arrays — no
-    stacked copy is materialized (jnp.stack costs 4 extra HBM round trips of
-    the batch at the XLA level, which dominated the kernel's own traffic).
-    Both planes are DMA'd per grid step; the select happens in VMEM.
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_selectn(
+    sources, src_idx: Array, k_idx: Array, interpret: bool = False
+) -> Array:
+    """Multi-source select: per sample pick plane (b, c) from
+    `sources[src_idx[b]]` (each (B, C, H, W)) and rot90 it by k_idx[b].
+
+    Unlike `_pallas_select`, the sources stay separate arrays — no stacked
+    copy is materialized (jnp.stack costs extra HBM round trips of the
+    batch at the XLA level, which dominated the kernel's own traffic). All
+    S planes are DMA'd per grid step (S-fold read amplification — callers
+    cap S at ~4, past which the XLA blend path wins); the select happens
+    in VMEM.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, C, H, W = xn.shape
+    sources = tuple(sources)
+    B, C, H, W = sources[0].shape
     # Block sizing: a few channel planes per grid step. Whole-image blocks
     # at wide fibers (C=16 regular reps) push ~10 MB of block buffers into
     # VMEM, defeating double-buffering and serializing the DMAs (measured
     # ~31 us/sample at C=16); per-plane blocks pay DMA-issue latency on
     # B*C tiny steps instead. 2-4 planes per step keeps both in check.
     bc = 1
-    for cand in (4, 2, 1):
+    for cand in (4, 3, 2, 1):  # 3 covers RGB canonicalize warps
         if C % cand == 0:
             bc = cand
             break
@@ -155,40 +188,59 @@ def _pallas_select2(
         num_scalar_prefetch=2,  # src_idx, k_idx
         grid=(B, C // bc),
         in_specs=[
-            pl.BlockSpec((1, bc, H, W), lambda b, c, src_ref, k_ref: (b, c, 0, 0)),
-            pl.BlockSpec((1, bc, H, W), lambda b, c, src_ref, k_ref: (b, c, 0, 0)),
+            pl.BlockSpec((1, bc, H, W), lambda b, c, src_ref, k_ref: (b, c, 0, 0))
+            for _ in sources
         ],
         out_specs=pl.BlockSpec(
             (1, bc, H, W), lambda b, c, src_ref, k_ref: (b, c, 0, 0)
         ),
     )
 
-    def kernel(src_ref, k_ref, x_ref, y_ref, out_ref):
+    def kernel(src_ref, k_ref, *refs):
+        src_refs, out_ref = refs[:-1], refs[-1]
         b = pl.program_id(0)
-        take_y = src_ref[b] == 1
         k = k_ref[b] % 4
         for c in range(bc):
-            plane = jnp.where(take_y, y_ref[0, c], x_ref[0, c])
+            plane = src_refs[0][0, c]
+            for s in range(1, len(src_refs)):
+                plane = jnp.where(src_ref[b] == s, src_refs[s][0, c], plane)
 
             def store(v, c=c):
                 out_ref[0, c] = v
 
-            _emit_rot90(plane, k, store, H, W, x_ref.dtype)
+            _emit_rot90(plane, k, store, H, W, sources[0].dtype)
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, C, H, W), xn.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), sources[0].dtype),
         interpret=interpret,
-    )(src_idx.astype(jnp.int32), k_idx.astype(jnp.int32), xn, yn)
+    )(src_idx.astype(jnp.int32), k_idx.astype(jnp.int32), *sources)
+
+
+def _pallas_select2_rolled(
+    xn: Array,
+    yn: Array,
+    src_idx: Array,
+    k_idx: Array,
+    shift: Array,
+    num_group: int,
+    num_rotations: int,
+    refl: Optional[Array] = None,
+    interpret: bool = False,
+) -> Array:
+    """Two-source rolled select (see `_pallas_selectn_rolled`)."""
+    return _pallas_selectn_rolled(
+        (xn, yn), src_idx, k_idx, shift, num_group, num_rotations,
+        refl=refl, interpret=interpret,
+    )
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_group", "num_rotations", "interpret")
 )
-def _pallas_select2_rolled(
-    xn: Array,
-    yn: Array,
+def _pallas_selectn_rolled(
+    sources,
     src_idx: Array,
     k_idx: Array,
     shift: Array,
@@ -214,10 +266,11 @@ def _pallas_select2_rolled(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, C, H, W = xn.shape
+    sources = tuple(sources)
+    B, C, H, W = sources[0].shape
     if H != W:
         raise ValueError(
-            f"_pallas_select2_rolled needs square images (rot90 branches "
+            f"_pallas_selectn_rolled needs square images (rot90 branches "
             f"transpose through permutation matmuls); got H={H}, W={W}"
         )
     G = num_group
@@ -244,10 +297,7 @@ def _pallas_select2_rolled(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=nps,  # src_idx, k_idx, shift[, refl]
         grid=(B, C),
-        in_specs=[
-            pl.BlockSpec((1, 1, H, W), _src_block),
-            pl.BlockSpec((1, 1, H, W), _src_block),
-        ],
+        in_specs=[pl.BlockSpec((1, 1, H, W), _src_block) for _ in sources],
         out_specs=pl.BlockSpec(
             (1, 1, H, W), lambda b, c, *scalars: (b, c, 0, 0)
         ),
@@ -255,11 +305,14 @@ def _pallas_select2_rolled(
 
     def kernel(src_ref, k_ref, sh_ref, *rest):
         if with_refl:
-            refl_ref, x_ref, y_ref, out_ref = rest
+            refl_ref = rest[0]
+            src_refs, out_ref = rest[1:-1], rest[-1]
         else:
-            x_ref, y_ref, out_ref = rest
+            src_refs, out_ref = rest[:-1], rest[-1]
         b = pl.program_id(0)
-        plane = jnp.where(src_ref[b] == 1, y_ref[0, 0], x_ref[0, 0])
+        plane = src_refs[0][0, 0]
+        for si in range(1, len(src_refs)):
+            plane = jnp.where(src_ref[b] == si, src_refs[si][0, 0], plane)
 
         if with_refl:
             rows = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
@@ -284,7 +337,7 @@ def _pallas_select2_rolled(
             def store(v):
                 out_ref[0, 0] = v
 
-        _emit_rot90(plane, k_ref[b] % 4, store, H, W, x_ref.dtype)
+        _emit_rot90(plane, k_ref[b] % 4, store, H, W, sources[0].dtype)
 
     scalars = [
         src_idx.astype(jnp.int32),
@@ -296,9 +349,9 @@ def _pallas_select2_rolled(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, C, H, W), xn.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), sources[0].dtype),
         interpret=interpret,
-    )(*scalars, xn, yn)
+    )(*scalars, *sources)
 
 
 def rotate_roll_select(
@@ -324,22 +377,21 @@ def rotate_roll_select(
     from equiadapt_tpu.ops.warp import rotate_twopass_nchw
 
     B, H, W, C = x.shape
-    assert H == W and num_rotations in (1, 2, 4, 8)
-    s = jnp.int32(1 if sign > 0 else -1)
-    m = jnp.mod(s * idx.astype(jnp.int32), num_rotations)
-    if num_rotations == 8:
-        src_idx = m % 2
-        k_idx = m // 2
-        xn = jnp.moveaxis(x, -1, 1)
-        yn = rotate_twopass_nchw(x, 45.0, padding_mode)
-    else:
-        src_idx = jnp.zeros_like(m)
-        k_idx = m * (4 // num_rotations)
-        xn = jnp.moveaxis(x, -1, 1)
-        yn = xn
+    residues, src_of, k_of = _c_n_decomposition(
+        num_rotations, 1.0 if sign > 0 else -1.0
+    )
+    assert H == W and len(residues) <= 4, (num_rotations, residues)
+    idx = jnp.mod(idx.astype(jnp.int32), num_rotations)
+    src_idx = jnp.asarray(src_of, jnp.int32)[idx]
+    k_idx = jnp.asarray(k_of, jnp.int32)[idx]
+    sources = [jnp.moveaxis(x, -1, 1)] + [
+        rotate_twopass_nchw(x, r, padding_mode) for r in residues[1:]
+    ]
+    if len(sources) == 1:
+        sources = sources * 2  # degenerate second source keeps one kernel
     num_group = num_rotations if refl is None else 2 * num_rotations
-    out = _pallas_select2_rolled(
-        xn, yn, src_idx, k_idx, shift, num_group, num_rotations,
+    out = _pallas_selectn_rolled(
+        tuple(sources), src_idx, k_idx, shift, num_group, num_rotations,
         refl=refl, interpret=interpret,
     )
     return jnp.moveaxis(out, 1, -1)
@@ -356,7 +408,8 @@ def pallas_rotate_select(
 ) -> Array:
     """Single-pass select: out[b] = rotate(x[b], sign * theta_{idx[b]}).
 
-    Supports num_rotations in {1, 2, 4, 8} on square NHWC images. Matches
+    Supports any C_n whose residual decomposition needs at most 4 source
+    planes (1/2/3/4/6/8/12/16, ...) on square NHWC images. Matches
     `rotate_discrete` with the hard one-hot of `idx` exactly: mode="exact"
     builds the C8 45-degree source plane with the static-tap warp (torch
     parity), mode="fast" with the two-pass MXU warp (`rotate_twopass`) —
@@ -368,30 +421,37 @@ def pallas_rotate_select(
 
     B, H, W, C = x.shape
     assert H == W, "select kernel needs square images"
-    assert num_rotations in (1, 2, 4, 8), num_rotations
+    residues, src_of, k_of = _c_n_decomposition(
+        num_rotations, 1.0 if sign > 0 else -1.0
+    )
+    assert len(residues) <= 4, (num_rotations, residues)
 
-    s = jnp.int32(1 if sign > 0 else -1)
-    m = jnp.mod(s * idx.astype(jnp.int32), num_rotations)
-    if num_rotations == 8:
-        src_idx = m % 2
-        k_idx = m // 2
+    idx = jnp.mod(idx.astype(jnp.int32), num_rotations)
+    src_idx = jnp.asarray(src_of, jnp.int32)[idx]
+    k_idx = jnp.asarray(k_of, jnp.int32)[idx]
+    if len(residues) > 1:
         if mode == "fast":
-            # two-source kernel: the 45-degree plane comes straight out of
-            # the second twopass GEMM in NCHW; no stacked copy
+            # multi-source kernel: each warped residual plane comes straight
+            # out of the second twopass GEMM in NCHW; no stacked copy
             from equiadapt_tpu.ops.warp import rotate_twopass_nchw
 
-            xn = jnp.moveaxis(x, -1, 1)
-            yn = rotate_twopass_nchw(x, 45.0, padding_mode)
-            out = _pallas_select2(xn, yn, src_idx, k_idx, interpret=interpret)
+            sources = [jnp.moveaxis(x, -1, 1)] + [
+                rotate_twopass_nchw(x, r, padding_mode) for r in residues[1:]
+            ]
+            out = _pallas_selectn(
+                tuple(sources), src_idx, k_idx, interpret=interpret
+            )
             return jnp.moveaxis(out, 1, -1)
-        x45 = _static_rotate(x, 45.0, padding_mode)
         sources = jnp.stack(
-            [jnp.moveaxis(x, -1, 1), jnp.moveaxis(x45, -1, 1)], axis=0
-        )  # (2, B, C, H, W)
+            [jnp.moveaxis(x, -1, 1)]
+            + [
+                jnp.moveaxis(_static_rotate(x, r, padding_mode), -1, 1)
+                for r in residues[1:]
+            ],
+            axis=0,
+        )  # (S, B, C, H, W)
     else:
         sources = jnp.moveaxis(x, -1, 1)[None]  # (1, B, C, H, W)
-        src_idx = jnp.zeros_like(m)
-        k_idx = m * (4 // num_rotations)
     out = _pallas_select(sources, src_idx, k_idx, interpret=interpret)
     return jnp.moveaxis(out, 1, -1)
 
@@ -407,15 +467,16 @@ def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode, mode):
     on_tpu_square = (
         jax.default_backend() == "tpu"
         and x.shape[1] == x.shape[2]
-        and num_rotations in (1, 2, 4, 8)
+        and len(_c_n_decomposition(num_rotations, sign)[0]) <= 4
     )
     if mode == "fast":
-        # crossover (measured, docs/benchmarking.md): the steered kernel's
-        # fixed cost (NCHW brackets + per-sample DMA) amortizes over the
-        # channel dim, so wide regular-rep feature maps (the invert path,
-        # C = fields * |G|) go through pallas while thin RGB canonicalize
-        # warps stay on the XLA blend path
-        if on_tpu_square and x.shape[-1] >= 8:
+        # round-3 crossover (loop-amortized measurement, docs/
+        # benchmarking.md): with 3-plane blocks the steered kernel beats
+        # the XLA rot90 blends at C=3 too (the round-2 chained measurement
+        # that favored XLA at thin channels was flattered by moveaxis
+        # cancellation between iterations), so every square select goes
+        # through pallas
+        if on_tpu_square:
             return pallas_rotate_select(
                 x, idx, num_rotations, sign, padding_mode, mode="fast"
             )

@@ -114,7 +114,18 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Fully replicate a pytree (params / train state) across the mesh."""
+    """Fully replicate a pytree (params / train state) across the mesh.
+
+    Multi-process: `device_put` cannot target non-addressable devices, so
+    the global replicated arrays are assembled from the per-process copies
+    (every process must hold the same values — true for states built from
+    the same seed)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, P()
+        )
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 

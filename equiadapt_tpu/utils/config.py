@@ -39,6 +39,9 @@ class NetworkHyperparams:
     # "approx" = TPU approx_max_k kNN graphs (~2.9x faster frames, ~99%
     # neighbor recall); "exact" = reference top_k semantics
     knn_mode: str = "exact"
+    # serving-mode energy: 2x2/s2 avg pool after the GCNN lift (exactly
+    # rot90-equivariant on even sizes; 4x cheaper group convs)
+    pool_after_lift: bool = False
     hidden_dim: int = 16
     layer_pooling: str = "mean"
     final_pooling: str = "mean"

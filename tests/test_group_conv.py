@@ -116,3 +116,35 @@ def test_c8_approximate_equivariance():
     acts = np.asarray(net.apply(params, x))
     acts_rot = np.asarray(net.apply(params, rot90(x, 1)))  # 90 deg = 2 steps of C8
     np.testing.assert_allclose(acts_rot, np.roll(acts, 2, axis=-1), atol=1e-4)
+
+
+def test_equivariant_network_pool_after_lift_keeps_c4_equivariance():
+    """The 2x2/s2 avg pool after the lift (the serving-mode energy config)
+    commutes exactly with rot90 on even sizes, so C4 equivariance of the
+    activations is preserved bit-for-bit in structure (allclose in fp32)."""
+    net = EquivariantNetwork(
+        in_channels=3, out_channels=8, kernel_size=3, group_type="rotation",
+        num_rotations=4, num_layers=2, pool_after_lift=True,
+    )
+    x = jax.random.uniform(KEY, (2, 16, 16, 3))
+    params = net.init(KEY, x)
+    acts = net.apply(params, x)
+    assert acts.shape == (2, 4)
+    for j in [1, 2, 3]:
+        acts_rot = net.apply(params, rot90(x, j))
+        np.testing.assert_allclose(
+            np.asarray(acts_rot), np.roll(np.asarray(acts), j, axis=-1), atol=1e-4
+        )
+
+
+def test_equivariant_network_pool_after_lift_c8_roll():
+    """C8: rot90 = 2 steps of the fiber roll; pooling must not break it."""
+    net = EquivariantNetwork(
+        in_channels=3, out_channels=4, kernel_size=3, group_type="rotation",
+        num_rotations=8, num_layers=2, pool_after_lift=True,
+    )
+    x = jax.random.uniform(KEY, (2, 16, 16, 3))
+    params = net.init(KEY, x)
+    acts = np.asarray(net.apply(params, x))
+    acts_rot = np.asarray(net.apply(params, rot90(x, 1)))
+    np.testing.assert_allclose(acts_rot, np.roll(acts, 2, axis=-1), atol=1e-4)
