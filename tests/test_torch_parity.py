@@ -210,3 +210,167 @@ def test_full_discrete_canonicalize_path_torch_parity():
         np.asarray(x_canon) - t_canon.permute(0, 2, 3, 1).numpy()
     ).max(axis=(1, 2, 3))
     assert (diff[confident] < 2e-4).all(), diff
+
+
+def torch_rotate_rect(x: "torch.Tensor", angles_deg: "torch.Tensor",
+                      padding_mode: str = "zeros") -> "torch.Tensor":
+    """Pixel-space rotation oracle valid for NON-square images: build the
+    sampling grid in pixel coordinates about ((W-1)/2, (H-1)/2) (kornia's
+    center) and normalize for grid_sample(align_corners=False). The
+    normalized-affine shortcut in `torch_rotate` only equals this on
+    squares."""
+    b, c, h, w = x.shape
+    rad = (angles_deg * np.pi / 180.0).view(b, 1, 1)
+    cos, sin = torch.cos(rad), torch.sin(rad)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    ys = torch.arange(h, dtype=x.dtype)
+    xs = torch.arange(w, dtype=x.dtype)
+    gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+    dx, dy = gx[None] - cx, gy[None] - cy
+    sx = cos * dx - sin * dy + cx
+    sy = sin * dx + cos * dy + cy
+    nx = (2.0 * sx + 1.0) / w - 1.0
+    ny = (2.0 * sy + 1.0) / h - 1.0
+    grid = torch.stack([nx, ny], dim=-1)
+    return F.grid_sample(x, grid, mode="bilinear", padding_mode=padding_mode,
+                         align_corners=False)
+
+
+@pytest.mark.parametrize("padding", ["zeros", "border"])
+def test_rotate_matches_torch_oracle_non_square(padding):
+    """VERDICT round-2 item 5: the square-equivalence argument left
+    non-square images untested against a torch oracle."""
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(4, 24, 40, 3)).astype(np.float32)
+    angles = np.asarray([33.0, -75.5, 145.0, 262.1], np.float32)
+    ours = rotate(jnp.asarray(x), jnp.asarray(angles), padding_mode=padding)
+    theirs = torch_rotate_rect(
+        torch.tensor(x).permute(0, 3, 1, 2), torch.tensor(angles),
+        padding_mode=padding,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=3e-5)
+
+
+def test_optimized_canonicalizer_shared_weight_parity():
+    """Optimized (orbit + reference-vector) path with shared weights:
+    identical selected elements and fp32-close canonical tensors vs an
+    independent torch replica of the orbit/cosine machinery
+    (reference discrete_group.py:320-512)."""
+    import flax.linen as nn
+
+    from equiadapt_tpu.images.canonicalization.discrete_group import (
+        OptimizedGroupEquivariantImageCanonicalization,
+    )
+
+    G, B, S, D = 8, 5, 32, 16
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(B, S, S, 3)).astype(np.float32)
+
+    class LinearVec(nn.Module):
+        @nn.compact
+        def __call__(self, z, training=False):
+            return nn.Dense(D, use_bias=False)(z.reshape(z.shape[0], -1))
+
+    canon = OptimizedGroupEquivariantImageCanonicalization(
+        canonicalization_network=LinearVec(), in_shape=(S, S, 3),
+        num_rotations=G, group_type="rotation", out_vector_size=D,
+    )
+    variables = canon.init(jax.random.key(1), jnp.asarray(x), training=False)
+    x_canon, info = canon.apply(variables, jnp.asarray(x), training=False)
+    acts = np.asarray(info.group_activations)
+    idx = np.asarray(info.onehot.argmax(-1))
+
+    Wv = np.asarray(variables["params"]["canonicalization_network"]["Dense_0"]["kernel"])
+    ref = np.asarray(variables["params"]["reference_vector"])
+    angles = np.linspace(0.0, 360.0, G + 1)[:G].astype(np.float32)
+    tx = torch.tensor(x).permute(0, 3, 1, 2)
+    pad = S // 2
+    t_acts = []
+    for g in range(G):
+        xp = F.pad(tx, (pad, pad, pad, pad), mode="replicate")
+        xr = torch_rotate(xp, torch.full((B,), -angles[g]))
+        xg = xr[:, :, pad:pad + S, pad:pad + S]
+        flat = xg.permute(0, 2, 3, 1).reshape(B, -1).numpy()
+        v = flat @ Wv
+        vn = v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+        rn = ref / (np.linalg.norm(ref, axis=-1, keepdims=True) + 1e-12)
+        t_acts.append((vn * rn).sum(-1))
+    t_acts = np.stack(t_acts, axis=1)  # (B, G)
+    np.testing.assert_allclose(acts, t_acts, atol=2e-4)
+    srt = np.sort(t_acts, axis=-1)
+    confident = (srt[:, -1] - srt[:, -2]) > 1e-3
+    assert confident.sum() >= 3
+    np.testing.assert_array_equal(idx[confident], t_acts.argmax(-1)[confident])
+    # canonical image: pad -> rotate(-theta_sel) -> crop in torch
+    theta_sel = torch.tensor(angles)[torch.tensor(idx)]
+    xp = F.pad(tx, (pad, pad, pad, pad), mode="replicate")
+    xr = torch_rotate(xp, -theta_sel)
+    t_canon = xr[:, :, pad:pad + S, pad:pad + S].permute(0, 2, 3, 1).numpy()
+    diff = np.abs(np.asarray(x_canon) - t_canon).max(axis=(1, 2, 3))
+    assert (diff[confident] < 2e-4).all(), diff
+
+
+def test_one_train_step_gradient_parity_discrete():
+    """One training-step gradient parity on the discrete path: shared
+    lift-conv weights, straight-through selection, blend warp, task +
+    prior losses — d loss / d weights matches an independent torch replica
+    of the same estimator to fp32 tolerance (VERDICT round-2 item 5)."""
+    G, B, S = 4, 4, 16
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(B, S, S, 3)).astype(np.float32)
+    task_w = rng.normal(size=(B, S, S, 3)).astype(np.float32)
+
+    lift = RotationEquivariantConvLift(
+        in_channels=3, out_channels=4, kernel_size=3, num_rotations=G
+    )
+    params = lift.init(jax.random.key(2), jnp.asarray(x))
+    w0 = np.asarray(params["params"]["weights"])
+    b0 = np.asarray(params["params"]["bias"])
+
+    def jax_loss(p):
+        y = lift.apply({"params": p}, jnp.asarray(x))
+        Bq, Hq, Wq, CG = y.shape
+        acts = jnp.mean(y.reshape(Bq, Hq * Wq, CG // G, G), axis=(1, 2))
+        from equiadapt_tpu.common.selector import straight_through_onehot
+
+        onehot = straight_through_onehot(acts, beta=1.0, training=True)
+        x_c = rotate_discrete(jnp.asarray(x), onehot, G, sign=-1.0,
+                              padding_mode="border")
+        task = jnp.sum(x_c * jnp.asarray(task_w))
+        prior = -jnp.mean(jax.nn.log_softmax(acts, -1)[:, 0])
+        return task + 100.0 * prior
+
+    gj = jax.grad(jax_loss)({"weights": jnp.asarray(w0), "bias": jnp.asarray(b0)})
+
+    # torch replica of the same estimator
+    tw = torch.tensor(w0, requires_grad=True)
+    tb = torch.tensor(b0, requires_grad=True)
+    angles = torch.linspace(0.0, 360.0, G + 1)[:G]
+    K, _, Ci, Co = w0.shape
+    flat = tw.reshape(K, K, Ci * Co).permute(2, 0, 1)[None].expand(G, Ci * Co, K, K)
+    rot = torch_rotate(flat, angles)
+    bank = rot.reshape(G, Ci, Co, K, K).permute(2, 0, 1, 3, 4).reshape(Co * G, Ci, K, K)
+    tx = torch.tensor(x).permute(0, 3, 1, 2)
+    h = F.conv2d(tx, bank, bias=tb.repeat_interleave(G))
+    acts_t = h.reshape(B, Co, G, h.shape[-2], h.shape[-1]).mean(dim=(1, 3, 4))
+    soft = torch.softmax(acts_t, dim=-1)
+    hard = torch.nn.functional.one_hot(acts_t.argmax(-1), G).to(soft.dtype)
+    onehot_t = hard + soft - soft.detach()
+    pad = S // 2
+    xp = F.pad(tx, (pad, pad, pad, pad), mode="replicate")
+    cands = [
+        torch_rotate(xp, torch.full((B,), -float(angles[g])))[
+            :, :, pad:pad + S, pad:pad + S
+        ]
+        for g in range(G)
+    ]
+    x_ct = sum(onehot_t[:, g].view(B, 1, 1, 1) * cands[g] for g in range(G))
+    task_t = (x_ct * torch.tensor(task_w).permute(0, 3, 1, 2)).sum()
+    prior_t = -torch.log_softmax(acts_t, dim=-1)[:, 0].mean()
+    (task_t + 100.0 * prior_t).backward()
+
+    gw = np.asarray(gj["weights"])
+    gb = np.asarray(gj["bias"])
+    scale = max(np.abs(tw.grad.numpy()).max(), 1.0)
+    np.testing.assert_allclose(gw / scale, tw.grad.numpy() / scale, atol=5e-4)
+    np.testing.assert_allclose(gb, tb.grad.numpy(), rtol=1e-3, atol=1e-3)
