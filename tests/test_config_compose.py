@@ -124,3 +124,23 @@ def test_nbody_cli_with_group_selector(capsys):
         "experiment.batch_size=8",
     ])
     assert "loss" in capsys.readouterr().out.lower()
+
+
+@pytest.mark.parametrize(
+    "cfg_dir,groups",
+    [
+        (CLS_CFG, ["dataset", "experiment", "prediction", "checkpoint", "wandb"]),
+        (SEG_CFG, ["dataset", "experiment", "prediction", "checkpoint"]),
+        (PC_CFG, ["dataset", "experiment", "prediction", "checkpoint"]),
+        (PS_CFG, ["dataset", "experiment", "prediction", "checkpoint"]),
+        (NB_CFG, ["dataset", "experiment", "prediction", "checkpoint"]),
+    ],
+)
+def test_full_group_taxonomy_resolves(cfg_dir, groups):
+    """Every example carries the reference's full config-group taxonomy
+    (canonicalization/dataset/experiment/prediction/checkpoint[/wandb]) and
+    each default group file parses through composition."""
+    selectors = [f"{g}=default" for g in groups if g != "wandb"]
+    cfg = compose_config(selectors, config_dir=cfg_dir)
+    assert cfg.experiment.run_mode == "train"
+    assert os.path.isdir(os.path.join(cfg_dir, "canonicalization"))
