@@ -195,12 +195,20 @@ def _imagenet_decode_train(path: str, image_size: int, rng: np.random.Generator)
                     box=(left, top, left + w, top + h),
                 )
                 break
-        else:  # torchvision's fallback: center crop at the image's aspect
-            scale = min(W, H)
-            left, top = (W - scale) // 2, (H - scale) // 2
+        else:
+            # torchvision's fallback: clamp to the nearest allowed aspect
+            # ratio, then center crop (RandomResizedCrop.get_params)
+            in_ratio = W / H
+            if in_ratio < 3.0 / 4.0:
+                w, h = W, int(round(W / (3.0 / 4.0)))
+            elif in_ratio > 4.0 / 3.0:
+                w, h = int(round(H * (4.0 / 3.0))), H
+            else:
+                w, h = W, H
+            left, top = (W - w) // 2, (H - h) // 2
             im = im.resize(
                 (image_size, image_size), Image.BILINEAR,
-                box=(left, top, left + scale, top + scale),
+                box=(left, top, left + w, top + h),
             )
         return np.asarray(im, np.float32) / 255.0
 
@@ -253,19 +261,28 @@ def imagenet_batch_iterator(
     def _decode(args):
         i, path = args
         if train:
-            img = _imagenet_decode_train(
-                path, image_size, np.random.default_rng(seed ^ (i * 2654435761))
-            )
-            if (seed ^ (i * 40503)) % 2:  # RandomHorizontalFlip(0.5)
+            img_rng = np.random.default_rng(seed ^ (i * 2654435761))
+            img = _imagenet_decode_train(path, image_size, img_rng)
+            if img_rng.random() < 0.5:  # RandomHorizontalFlip(0.5)
                 img = img[:, ::-1, :]
         else:
             img = _imagenet_decode_eval(path, image_size)
         return _normalize(img, "imagenet").astype(np.float32)
 
+    def _submit(pool, b):
+        idx = order[b * batch_size : (b + 1) * batch_size]
+        fut = pool.map(_decode, [(int(i), paths[i]) for i in idx])
+        return fut, idx
+
+    # one-batch lookahead: batch b+1 decodes in the pool while the caller
+    # consumes batch b (the DataLoader-prefetch analog)
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending = _submit(pool, 0) if total else None
         for b in range(total):
-            idx = order[b * batch_size : (b + 1) * batch_size]
-            imgs = list(pool.map(_decode, [(int(i), paths[i]) for i in idx]))
+            fut, idx = pending
+            nxt = _submit(pool, b + 1) if b + 1 < total else None
+            imgs = list(fut)
+            pending = nxt
             yield {
                 "image": jnp.asarray(np.stack(imgs)),
                 "label": jnp.asarray(labels[idx]),
@@ -275,16 +292,22 @@ def imagenet_batch_iterator(
 _DATA_CACHE: Dict[tuple, tuple] = {}
 
 
-def get_image_dataset(cfg, rng: jax.Array, num_batches: int) -> Iterator[Dict[str, Array]]:
+def get_image_dataset(
+    cfg, rng: jax.Array, num_batches: int, split: str = "train"
+) -> Iterator[Dict[str, Array]]:
     """Datamodule registry dispatch (reference train_utils.py:117-130):
-    dataset_name -> loader + augmented train-batch iterator. In-memory
-    datasets are cached per (name, path) across epochs; ImageNet streams."""
+    dataset_name -> loader + batch iterator. `split="train"` shuffles and
+    augments; `split="test"` serves the held-out split deterministically
+    with no augmentation (the val/test dataloaders of the reference's
+    datamodules). In-memory datasets are cached per (name, path) across
+    epochs; ImageNet streams."""
     name = cfg.dataset.dataset_name
     bs = cfg.experiment.batch_size
+    train_split = split == "train"
     if name == "imagenet":
         yield from imagenet_batch_iterator(
-            rng, cfg.dataset.data_path, "train", bs,
-            image_size=cfg.dataset.image_size, num_batches=num_batches,
+            rng, cfg.dataset.data_path, "train" if train_split else "val",
+            bs, image_size=cfg.dataset.image_size, num_batches=num_batches,
         )
         return
     loaders = {
@@ -301,10 +324,12 @@ def get_image_dataset(cfg, rng: jax.Array, num_batches: int) -> Iterator[Dict[st
     key = (name, cfg.dataset.data_path)
     if key not in _DATA_CACHE:
         _DATA_CACHE[key] = loaders[name](cfg.dataset.data_path)
-    train, _test = _DATA_CACHE[key]
+    train, test = _DATA_CACHE[key]
     it = image_batch_iterator(
-        rng, train, bs, augment=cfg.dataset.augment,
+        rng, train if train_split else test, bs,
+        augment=cfg.dataset.augment if train_split else "none",
         num_rotations=cfg.canonicalization.network_hyperparams.num_rotations,
+        shuffle=train_split,
         dataset_name=name,
     )
     for i, batch in enumerate(it):

@@ -375,9 +375,11 @@ def warp_rotate_center_fast(
     c = (W//2, H//2). Quarter turns resolve to exact permutations; the
     [-45, 45]-degree residual runs through the 3-shear pallas kernel.
 
-    Not differentiable w.r.t. R (hard quarter-turn selection + kernel): the
-    canonicalizers use it only at eval; training keeps the differentiable
-    dynamic warp.
+    Carries no autodiff rule itself (hard quarter-turn selection + pallas
+    kernel). Eval calls it directly; fast-mode TRAINING differentiates
+    through it via `ops/warp.warp_center_rotation_fast_diff`'s custom VJP
+    (closed-form warp gradients), so changes to this kernel's center or
+    padding conventions affect the training path too.
     """
     B, H, W, C = x.shape
     cx, cy = W // 2, H // 2

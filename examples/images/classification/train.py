@@ -68,7 +68,11 @@ def build_pipeline(cfg: Config) -> ImageClassifierPipeline:
     return ImageClassifierPipeline(canonicalizer=canon, prediction_network=pred)
 
 
-def get_batches(cfg: Config, rng, num_batches: int):
+def get_batches(cfg: Config, rng, num_batches: int, split: str = "train"):
+    """split="train": shuffled + augmented; split="test": the held-out
+    split, deterministic, no augmentation (the reference datamodules'
+    val/test dataloaders). Synthetic data ignores the split (fresh draws
+    per fold)."""
     if cfg.dataset.dataset_name == "synthetic":
         for i in range(num_batches):
             yield synthetic_image_batch(
@@ -81,7 +85,7 @@ def get_batches(cfg: Config, rng, num_batches: int):
     else:
         from equiadapt_tpu.data.images import get_image_dataset
 
-        yield from get_image_dataset(cfg, rng, num_batches)
+        yield from get_image_dataset(cfg, rng, num_batches, split=split)
 
 
 def main(argv) -> None:
@@ -156,7 +160,7 @@ def main(argv) -> None:
             cfg.checkpoint.checkpoint_path, state,
             strict=cfg.checkpoint.strict_loading,
         )
-        batch = next(get_batches(cfg, jax.random.fold_in(rng, 999), 1))
+        batch = next(get_batches(cfg, jax.random.fold_in(rng, 999), 1, split="test"))
         if cfg.experiment.inference_method == "group":
             metrics = group_inference(
                 state, batch,
@@ -253,7 +257,8 @@ def main(argv) -> None:
             state, metrics = step(state, shard_batch(batch, mesh), rng)
             assert_finite_loss(metrics)
             logger.update(metrics)
-        val = next(get_batches(cfg, jax.random.fold_in(rng, 10_000 + epoch), 1))
+        val = next(get_batches(cfg, jax.random.fold_in(rng, 10_000 + epoch), 1,
+                                split="test"))
         vm = eval_step(state, val)
         if cfg.checkpoint.save_canonized_images and cfg.checkpoint.checkpoint_path:
             from equiadapt_tpu.utils.metrics import save_canonized_images

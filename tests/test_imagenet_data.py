@@ -129,3 +129,59 @@ def test_get_image_dataset_unknown_name():
     cfg = Config().override("dataset.dataset_name=nope")
     with pytest.raises(ValueError, match="unknown dataset"):
         next(get_image_dataset(cfg, jax.random.key(0), 1))
+
+
+def test_get_image_dataset_test_split_is_heldout_and_unaugmented(tmp_path):
+    """Regression (round-3 review): val/test batches must come from the
+    held-out split with no augmentation — previously every evaluation ran
+    on shuffled, augmented training images."""
+    import pickle
+
+    from equiadapt_tpu.utils import Config
+
+    root = tmp_path / "cifar-10-batches-py"
+    root.mkdir()
+    rng = np.random.default_rng(5)
+    for fname, base in [(f"data_batch_{i}", 0) for i in range(1, 6)] + [
+        ("test_batch", 200)
+    ]:
+        with open(root / fname, "wb") as f:
+            pickle.dump(
+                {
+                    b"data": np.full((16, 3072), base, np.uint8)
+                    + rng.integers(0, 40, (16, 3072)).astype(np.uint8),
+                    b"labels": rng.integers(0, 10, 16).tolist(),
+                },
+                f,
+            )
+    cfg = Config().override(
+        "dataset.dataset_name=cifar10",
+        f"dataset.data_path={tmp_path}",
+        "experiment.batch_size=8",
+        "dataset.augment=flip",
+    )
+    train_b = next(get_image_dataset(cfg, jax.random.key(0), 1, split="train"))
+    test_b = next(get_image_dataset(cfg, jax.random.key(0), 1, split="test"))
+    # the fabricated test split has a +200 intensity offset -> disjoint
+    assert float(test_b["image"].mean()) > float(train_b["image"].mean()) + 1.0
+    # deterministic, unaugmented: same rng twice -> identical batches
+    test_b2 = next(get_image_dataset(cfg, jax.random.key(7), 1, split="test"))
+    np.testing.assert_array_equal(np.asarray(test_b["image"]),
+                                  np.asarray(test_b2["image"]))
+
+
+def test_imagenet_test_split_uses_val_decode(fake_imagenet):
+    """split='test' dispatches to the val directory + center-crop decode."""
+    from equiadapt_tpu.utils import Config
+
+    cfg = Config().override(
+        "dataset.dataset_name=imagenet",
+        f"dataset.data_path={fake_imagenet}",
+        "dataset.image_size=24",
+        "experiment.batch_size=3",
+    )
+    a = list(get_image_dataset(cfg, jax.random.key(0), 10, split="test"))
+    assert len(a) == 3  # 9 val images / batch 3
+    b = list(get_image_dataset(cfg, jax.random.key(5), 10, split="test"))
+    np.testing.assert_array_equal(np.asarray(a[0]["image"]),
+                                  np.asarray(b[0]["image"]))
