@@ -47,6 +47,20 @@ def knn_indices(points: Array, k: int, mode: str = "exact") -> Array:
     if mode == "approx":
         _, idx = jax.lax.approx_max_k(neg_dist, k)
         return idx
+    if jax.default_backend() == "tpu" and k <= 32:
+        # iterative-max exact top-k: k rounds of (argmax + mask) are VPU
+        # reductions instead of lax.top_k's sort network — 2.2x faster at
+        # (64, 1024, 1024) k=16 on v5e, bit-identical indices incl.
+        # first-occurrence tie order (docs/benchmarking.md round 3)
+        B, N = neg_dist.shape[0], neg_dist.shape[-1]
+        cols = jax.lax.broadcasted_iota(jnp.int32, neg_dist.shape, neg_dist.ndim - 1)
+        d = neg_dist
+        idxs = []
+        for _ in range(k):
+            am = jnp.argmax(d, axis=-1)
+            idxs.append(am)
+            d = jnp.where(cols == am[..., None], -jnp.inf, d)
+        return jnp.stack(idxs, axis=-1)
     _, idx = jax.lax.top_k(neg_dist, k)
     return idx
 

@@ -163,3 +163,32 @@ def test_vnsmall_approx_knn_mode_runs_and_matches_closely():
     vecs = net.apply(params, pts, training=False)
     assert vecs.shape == (2, 3, 3)
     assert bool(jnp.isfinite(vecs).all())
+
+
+def test_knn_iterative_exact_matches_top_k():
+    """The TPU iterative-max exact top-k (knn_indices fast path) is
+    bit-identical to lax.top_k, including self-neighbor-first ordering.
+    The TPU gate isn't active on CPU, so the equivalent computation is
+    checked inline against the library's exact mode."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from equiadapt_tpu.pointcloud.networks import knn_indices
+
+    pts = jax.random.normal(jax.random.key(11), (4, 128, 3))
+    ref = knn_indices(pts, 8, mode="exact")  # lax.top_k on CPU
+    inner = jnp.einsum("bnd,bmd->bnm", pts, pts)
+    sq = jnp.sum(pts**2, axis=-1)
+    d = 2 * inner - sq[:, :, None] - sq[:, None, :]
+    cols = lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    idxs = []
+    for _ in range(8):
+        am = jnp.argmax(d, axis=-1)
+        idxs.append(am)
+        d = jnp.where(cols == am[..., None], -jnp.inf, d)
+    iterative = jnp.stack(idxs, axis=-1)
+    np.testing.assert_array_equal(np.asarray(iterative), np.asarray(ref))
+    # every point is its own nearest neighbor
+    np.testing.assert_array_equal(
+        np.asarray(ref[..., 0]), np.arange(128)[None].repeat(4, 0)
+    )
