@@ -442,16 +442,18 @@ def pallas_rotate_select(
                 tuple(sources), src_idx, k_idx, interpret=interpret
             )
             return jnp.moveaxis(out, 1, -1)
-        sources = jnp.stack(
-            [jnp.moveaxis(x, -1, 1)]
-            + [
-                jnp.moveaxis(_static_rotate(x, r, padding_mode), -1, 1)
-                for r in residues[1:]
-            ],
-            axis=0,
-        )  # (S, B, C, H, W)
-    else:
-        sources = jnp.moveaxis(x, -1, 1)[None]  # (1, B, C, H, W)
+        # exact mode: static-tap warped residual sources through the same
+        # multi-input kernel (no stacked copy — the jnp.stack of round 2
+        # cost an extra HBM round trip per source)
+        sources = [jnp.moveaxis(x, -1, 1)] + [
+            jnp.moveaxis(_static_rotate(x, r, padding_mode), -1, 1)
+            for r in residues[1:]
+        ]
+        out = _pallas_selectn(
+            tuple(sources), src_idx, k_idx, interpret=interpret
+        )
+        return jnp.moveaxis(out, 1, -1)
+    sources = jnp.moveaxis(x, -1, 1)[None]  # (1, B, C, H, W)
     out = _pallas_select(sources, src_idx, k_idx, interpret=interpret)
     return jnp.moveaxis(out, 1, -1)
 
