@@ -487,12 +487,15 @@ def bench_torch_cpu() -> float:
     y = torch.randn(B, FEATURE_CH, IMAGE, IMAGE)
     with torch.no_grad():
         canonicalize_invert(x, y)  # warmup
-        iters = 3
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        # best-of-reps: the baseline denominator must not absorb transient
+        # host contention (observed 2-7x swings when other jobs share the
+        # CPU), or vs_baseline becomes meaningless run to run
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
             canonicalize_invert(x, y)
-        dt = (time.perf_counter() - t0) / iters
-    return B / dt
+            best = min(best, time.perf_counter() - t0)
+    return B / best
 
 
 def main() -> None:
