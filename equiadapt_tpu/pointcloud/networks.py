@@ -52,7 +52,6 @@ def knn_indices(points: Array, k: int, mode: str = "exact") -> Array:
         # reductions instead of lax.top_k's sort network — 2.2x faster at
         # (64, 1024, 1024) k=16 on v5e, bit-identical indices incl.
         # first-occurrence tie order (docs/benchmarking.md round 3)
-        B, N = neg_dist.shape[0], neg_dist.shape[-1]
         cols = jax.lax.broadcasted_iota(jnp.int32, neg_dist.shape, neg_dist.ndim - 1)
         d = neg_dist
         idxs = []
