@@ -110,16 +110,26 @@ def bench_jax() -> dict:
 
     def timed_ms(fn, *args, reps: int = 3) -> float:
         """Loop-amortized timing: the step runs N_LOOP times inside one jit
-        via lax.fori_loop with a scalar data dependency between iterations,
-        so per-call host/tunnel jitter (±2 ms on this runtime) amortizes to
-        ~±0.1 ms/iter. Round-2's chained per-call measurement both
-        flattered layout-bracket ops and carried the full jitter
-        (docs/benchmarking.md round-3 notes)."""
+        via lax.fori_loop, so per-call host/tunnel jitter (±2 ms on this
+        runtime) amortizes to ~±0.1 ms/iter.
+
+        The step receives an int32 pool `slot` that depends on both the
+        iteration counter and the loop carry; steps read their batch from a
+        2-deep input pool via `lax.dynamic_index_in_dim`. This keeps every
+        iteration's work live (nothing loop-invariant to hoist) WITHOUT
+        doing arithmetic on the full-size input inside the loop: the
+        round-3 `xx + it*1e-9` form materialized a full batch-size add
+        whenever the step had more than one input consumer — fused away in
+        the bare ResNet (one consumer) but charged to every canonicalize
+        step (energy + warp read the input separately), inflating measured
+        wrapper overhead by ~1 ms at 224px/batch 256 (profile-verified;
+        docs/benchmarking.md)."""
         from jax import lax
 
         def run(seed, *a):
             def body(it, s):
-                return fn(*a, s * 1e-30 + it * jnp.float32(1e-9)) * 1e-6 + s * 1e-30
+                slot = (it + jnp.asarray(s * 0.0, jnp.int32)) % 2
+                return fn(*a, slot) * 1e-6 + s * 1e-30
 
             return lax.fori_loop(0, N_LOOP, body, seed)
 
@@ -134,9 +144,18 @@ def bench_jax() -> dict:
             best = min(best, (time.perf_counter() - t0) / N_LOOP * 1e3)
         return best
 
+    def pool2(a: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+        """(2, ...) input pool: slot 1 is a slightly perturbed copy."""
+        return jnp.stack([a, a + eps])
+
+    def pick(pool, slot):
+        from jax import lax
+
+        return lax.dynamic_index_in_dim(pool, slot, axis=0, keepdims=False)
+
     def canon_invert(canon, mode, dtype):
-        def step(cp, xx, yy, i):
-            xx = xx + i * 1e-9  # defeat result caching; chain iterations
+        def step(cp, xps, yy, slot):
+            xx = pick(xps, slot)
             x_c, info = canon.apply(cp, xx, training=False)
             yy = yy.astype(dtype) if dtype is not None else yy
             y_inv = get_action_on_image_features(
@@ -151,15 +170,15 @@ def bench_jax() -> dict:
         return step
 
     def bare(resnet):
-        def step(rp, xx, i):
-            logits = resnet.apply(rp, xx + i * 1e-9, training=False)
+        def step(rp, xps, slot):
+            logits = resnet.apply(rp, pick(xps, slot), training=False)
             return jnp.sum(logits.astype(jnp.float32))
 
         return step
 
     def wrapped(canon, resnet):
-        def step(cp, rp, xx, i):
-            x_c, _ = canon.apply(cp, xx + i * 1e-9, training=False)
+        def step(cp, rp, xps, slot):
+            x_c, _ = canon.apply(cp, pick(xps, slot), training=False)
             logits = resnet.apply(rp, x_c, training=False)
             return jnp.sum(logits.astype(jnp.float32))
 
@@ -231,8 +250,8 @@ def bench_jax() -> dict:
     )
 
     def steer_canon(canon):
-        def step(cp, xx, i):
-            x_c, _ = canon.apply(cp, xx + i * 1e-9, training=False)
+        def step(cp, xps, slot):
+            x_c, _ = canon.apply(cp, pick(xps, slot), training=False)
             return jnp.sum(x_c.astype(jnp.float32))
 
         return step
@@ -256,8 +275,8 @@ def bench_jax() -> dict:
         jax.random.key(3), x96[:2]
     )
 
-    def opt_step(cp, xx, i):
-        x_c, _ = opt_canon.apply(cp, xx + i * 1e-9, training=False)
+    def opt_step(cp, xps, slot):
+        x_c, _ = opt_canon.apply(cp, pick(xps, slot), training=False)
         return jnp.sum(x_c.astype(jnp.float32))
 
     # pointcloud SO(3) canonicalization (BASELINE config 4): VNSmall frame
@@ -279,12 +298,12 @@ def bench_jax() -> dict:
         jax.random.key(4), pts[:2]
     )
 
-    def pc_step(cp, pp, i):
-        p_c, _ = pc_canon.apply(cp, pp + i * 1e-9, training=False)
+    def pc_step(cp, pps, slot):
+        p_c, _ = pc_canon.apply(cp, pick(pps, slot), training=False)
         return jnp.sum(p_c)
 
-    def pc_step_fast(cp, pp, i):
-        p_c, _ = pc_canon_fast.apply(cp, pp + i * 1e-9, training=False)
+    def pc_step_fast(cp, pps, slot):
+        p_c, _ = pc_canon_fast.apply(cp, pick(pps, slot), training=False)
         return jnp.sum(p_c)
 
     # n-body SE(3) canonicalization (BASELINE config 3): VNDeepSets
@@ -310,9 +329,10 @@ def bench_jax() -> dict:
         )
     )(jax.random.key(5), nb)
 
-    def nb_step(cp, d, i):
+    def nb_step(cp, d, slot):
+        loc = pick(d["loc_pool"], slot)
         out_nb = nb_canon.apply(
-            cp, d["loc"] + i * 1e-9, loc=d["loc"] + i * 1e-9, vel=d["vel"],
+            cp, loc, loc=loc, vel=d["vel"],
             charges=d["charges"], training=False,
         )
         (loc_c, vel_c), _info = out_nb
@@ -332,8 +352,8 @@ def bench_jax() -> dict:
                 info.matrix_rep.astype(jnp.float32) ** 2
             )
 
-        def step(cp, xx, i):
-            g = jax.grad(loss)(cp, xx + i * 1e-9)
+        def step(cp, xps, slot):
+            g = jax.grad(loss)(cp, pick(xps, slot))
             return sum(
                 jnp.sum(l.astype(jnp.float32) ** 2)
                 for l in jax.tree_util.tree_leaves(g)
@@ -349,8 +369,8 @@ def bench_jax() -> dict:
             )
             return jnp.sum(x_c.astype(jnp.float32))
 
-        def step(cp, xx, i):
-            g = jax.grad(loss)(cp, xx + i * 1e-9)
+        def step(cp, xps, slot):
+            g = jax.grad(loss)(cp, pick(xps, slot))
             return sum(
                 jnp.sum(l.astype(jnp.float32) ** 2)
                 for l in jax.tree_util.tree_leaves(g)
@@ -358,24 +378,29 @@ def bench_jax() -> dict:
 
         return step
 
+    xp2 = pool2(x)
+    pts2 = pool2(pts)
+    x96_2 = pool2(x96)
+    nb["loc_pool"] = pool2(nb["loc"])
+
     out = {"kernels_bitexact": kernels_bitexact}
     out["continuous_train_fast_ms"] = timed_ms(
-        steer_train(steer_fast), steer_params, x
+        steer_train(steer_fast), steer_params, xp2
     )
     out["discrete_train_fast_ms"] = timed_ms(
-        discrete_train(canon_fast), canon_params, x
+        discrete_train(canon_fast), canon_params, xp2
     )
-    out["pointcloud_canon_ms"] = timed_ms(pc_step, pc_params, pts)
-    out["pointcloud_canon_fast_ms"] = timed_ms(pc_step_fast, pc_params, pts)
+    out["pointcloud_canon_ms"] = timed_ms(pc_step, pc_params, pts2)
+    out["pointcloud_canon_fast_ms"] = timed_ms(pc_step_fast, pc_params, pts2)
     out["nbody_canon_ms"] = timed_ms(nb_step, nb_params, nb)
-    out["opt_d8_96px_ms"] = timed_ms(opt_step, opt_params, x96)
-    out["continuous_fast_ms"] = timed_ms(steer_canon(steer_fast), steer_params, x)
-    out["continuous_exact_ms"] = timed_ms(steer_canon(steer_exact), steer_params, x)
+    out["opt_d8_96px_ms"] = timed_ms(opt_step, opt_params, x96_2)
+    out["continuous_fast_ms"] = timed_ms(steer_canon(steer_fast), steer_params, xp2)
+    out["continuous_exact_ms"] = timed_ms(steer_canon(steer_exact), steer_params, xp2)
     out["tput_fast_ms"] = timed_ms(
-        canon_invert(canon_fast, "fast", jnp.bfloat16), canon_params, x, y
+        canon_invert(canon_fast, "fast", jnp.bfloat16), canon_params, xp2, y
     )
     out["tput_exact_ms"] = timed_ms(
-        canon_invert(canon_exact, "exact", None), canon_params, x, y
+        canon_invert(canon_exact, "exact", None), canon_params, xp2, y
     )
     # Wrapper overhead is a DIFFERENCE of ~10x-larger timings, so it is
     # measured as paired differences: alternate bare/wrapped loop-timed
@@ -399,12 +424,12 @@ def bench_jax() -> dict:
         return min(bares), min(wraps), med, ci
 
     b32, w32, d32, ci32 = paired_overhead(
-        bare(resnet_f32), (res_params, x),
-        wrapped(canon_exact, resnet_f32), (canon_params, res_params, x),
+        bare(resnet_f32), (res_params, xp2),
+        wrapped(canon_exact, resnet_f32), (canon_params, res_params, xp2),
     )
     b16, w16, d16, ci16 = paired_overhead(
-        bare(resnet_bf16), (res_params_bf16, x),
-        wrapped(canon_serving, resnet_bf16), (canon_params, res_params_bf16, x),
+        bare(resnet_bf16), (res_params_bf16, xp2),
+        wrapped(canon_serving, resnet_bf16), (canon_params, res_params_bf16, xp2),
     )
     out.update({
         "bare_fp32_ms": b32, "wrapped_fp32_exact_ms": w32,
