@@ -121,6 +121,14 @@ class EquivariantNetwork(nn.Module):
     # Default off: the reference's ESCNN stack has no downsampling
     # (escnn_networks.py:69-90).
     pool_after_lift: bool = False
+    # Fold the 2x2/s2 average pool INTO the lift conv's filters
+    # (group_conv._fold_avg_pool): the pooled lift runs as one stride-2 conv
+    # and the full-resolution lift output (the energy path's dominant HBM
+    # traffic — ~134 MB at 64px/batch 256) is never materialized. Pooling
+    # then happens BEFORE BatchNorm/ReLU (pool_after_lift pools after), so
+    # this is a distinct — equally rot90-exact — architecture, the round-3
+    # serving preset.
+    fused_pool_lift: bool = False
 
     @property
     def num_group(self) -> int:
@@ -128,12 +136,16 @@ class EquivariantNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
+        assert not (self.pool_after_lift and self.fused_pool_lift), (
+            "pool_after_lift and fused_pool_lift are mutually exclusive"
+        )
         G = self.num_group
         y = _lift(self.group_type)(
             in_channels=self.in_channels,
             out_channels=self.out_channels,
             kernel_size=self.kernel_size,
             num_rotations=self.num_rotations,
+            fused_pool=self.fused_pool_lift,
         )(x)
         y = FiberBatchNorm(num_group=G)(y, training=training)
         y = nn.relu(y)

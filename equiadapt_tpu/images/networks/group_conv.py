@@ -68,6 +68,30 @@ def _conv2d(x: Array, w: Array, stride: int, padding: int) -> Array:
     )
 
 
+def _fold_avg_pool(bank: Array) -> Array:
+    """Fold a trailing 2x2/stride-2 average pool into a conv filter bank.
+
+    avg_pool2x2s2(conv_K(x, w)) == conv_{K+1,stride 2}(x, w') with
+    w'[u, v] = (1/4) * sum_{da,db in {0,1}} w[u-da, v-db] (zero outside
+    [0, K)): the pooled output is the mean of four adjacent conv outputs,
+    and summation over the pooling window commutes with the conv's tap sum.
+    Exactness of the lift's rot90 equivariance is inherited from the
+    pool-after-conv factorization (both factors commute with rot90 on
+    even-size grids — see EquivariantNetwork.pool_after_lift notes).
+
+    Args:
+        bank: (K, K, I, O) HWIO filters.
+
+    Returns:
+        (K+1, K+1, I, O) filters for a stride-2 conv with the same padding.
+    """
+    p00 = jnp.pad(bank, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    p10 = jnp.pad(bank, ((1, 0), (0, 1), (0, 0), (0, 0)))
+    p01 = jnp.pad(bank, ((0, 1), (1, 0), (0, 0), (0, 0)))
+    p11 = jnp.pad(bank, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    return 0.25 * (p00 + p10 + p01 + p11)
+
+
 def _rotate_bank(w_img: Array, angles: Array) -> Array:
     """Rotate a filter bank by per-element angles.
 
@@ -99,6 +123,9 @@ class RotationEquivariantConvLift(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: Optional[Any] = None  # computation dtype; None follows the input's
+    # fold a 2x2/s2 average pool into the filters (serving-mode energy
+    # downsampling without materializing the full-resolution lift output)
+    fused_pool: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -108,9 +135,14 @@ class RotationEquivariantConvLift(nn.Module):
         bank = _rotate_bank(w.reshape(K, K, Ci * Co), angles)  # (G,K,K,Ci*Co)
         # -> HWIO with out channel index c*G + g
         bank = bank.reshape(G, K, K, Ci, Co).transpose(1, 2, 3, 4, 0).reshape(K, K, Ci, Co * G)
+        stride = self.stride
+        if self.fused_pool:
+            assert self.stride == 1, "fused_pool composes with stride-1 convs"
+            bank = _fold_avg_pool(bank)
+            stride = 2
         dt = self.dtype or x.dtype
         x, bank = x.astype(dt), bank.astype(dt)
-        y = _conv2d(x, bank, self.stride, self.padding)
+        y = _conv2d(x, bank, stride, self.padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (Co,))
             y = y + jnp.repeat(b.astype(y.dtype), G)[None, None, None, :]
@@ -133,6 +165,7 @@ class RotoReflectionEquivariantConvLift(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: Optional[Any] = None  # computation dtype; None follows the input's
+    fused_pool: bool = False  # see RotationEquivariantConvLift
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -144,9 +177,14 @@ class RotoReflectionEquivariantConvLift(nn.Module):
         ref = rot[:, :, ::-1, :]  # hflip on the width axis
         bank = jnp.concatenate([rot, ref], axis=0)  # (G,K,K,Ci*Co)
         bank = bank.reshape(G, K, K, Ci, Co).transpose(1, 2, 3, 4, 0).reshape(K, K, Ci, Co * G)
+        stride = self.stride
+        if self.fused_pool:
+            assert self.stride == 1, "fused_pool composes with stride-1 convs"
+            bank = _fold_avg_pool(bank)
+            stride = 2
         dt = self.dtype or x.dtype
         x, bank = x.astype(dt), bank.astype(dt)
-        y = _conv2d(x, bank, self.stride, self.padding)
+        y = _conv2d(x, bank, stride, self.padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (Co,))
             y = y + jnp.repeat(b.astype(y.dtype), G)[None, None, None, :]

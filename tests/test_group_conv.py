@@ -148,3 +148,44 @@ def test_equivariant_network_pool_after_lift_c8_roll():
     acts = np.asarray(net.apply(params, x))
     acts_rot = np.asarray(net.apply(params, rot90(x, 1)))
     np.testing.assert_allclose(acts_rot, np.roll(acts, 2, axis=-1), atol=1e-4)
+
+
+def test_fused_pool_lift_equals_pool_then_conv():
+    """_fold_avg_pool correctness: the stride-2 folded-filter lift equals
+    avg_pool2x2s2 of the plain lift output exactly (same params — only the
+    fp32 summation order differs)."""
+    from equiadapt_tpu.images.networks.group_conv import (
+        RotationEquivariantConvLift,
+    )
+
+    x = jax.random.uniform(KEY, (2, 16, 16, 3))
+    plain = RotationEquivariantConvLift(
+        in_channels=3, out_channels=4, kernel_size=3, num_rotations=4,
+    )
+    fused = RotationEquivariantConvLift(
+        in_channels=3, out_channels=4, kernel_size=3, num_rotations=4,
+        fused_pool=True,
+    )
+    params = plain.init(KEY, x)
+    import flax.linen as nn
+
+    ref = nn.avg_pool(plain.apply(params, x), (2, 2), strides=(2, 2))
+    out = fused.apply(params, x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("n,steps", [(4, 1), (8, 2)])
+def test_equivariant_network_fused_pool_lift_equivariance(n, steps):
+    """The folded-pool lift inherits exact rot90 equivariance from its
+    pool-after-conv factorization (both factors commute with rot90 on
+    even grids)."""
+    net = EquivariantNetwork(
+        in_channels=3, out_channels=8, kernel_size=3, group_type="rotation",
+        num_rotations=n, num_layers=2, fused_pool_lift=True,
+    )
+    x = jax.random.uniform(KEY, (2, 16, 16, 3))
+    params = net.init(KEY, x)
+    acts = np.asarray(net.apply(params, x))
+    acts_rot = np.asarray(net.apply(params, rot90(x, 1)))
+    np.testing.assert_allclose(acts_rot, np.roll(acts, steps, axis=-1), atol=1e-4)
