@@ -77,12 +77,14 @@ def bench_jax() -> dict:
 
     canon_fast = make_canon("fast", jnp.bfloat16)
     canon_exact = make_canon("exact", None)
-    # serving-mode energy config: pooled GCNN (exactly rot90-equivariant,
-    # 4x cheaper group convs — images/networks/equivariant.py); the exact
-    # path keeps the reference-faithful unpooled stack
+    # serving-mode energy config: fused-pool GCNN (exactly rot90-equivariant;
+    # the 2x2/s2 avg pool is folded into the lift conv's filters so the
+    # full-resolution lift output is never materialized —
+    # images/networks/group_conv._fold_avg_pool); the exact path keeps the
+    # reference-faithful unpooled stack
     net_pooled = EquivariantNetwork(
         in_channels=3, out_channels=8, kernel_size=3, group_type="rotation",
-        num_rotations=NUM_ROT, num_layers=2, pool_after_lift=True,
+        num_rotations=NUM_ROT, num_layers=2, fused_pool_lift=True,
     )
     canon_serving = GroupEquivariantImageCanonicalization(
         canonicalization_network=net_pooled, in_shape=(IMAGE, IMAGE, 3),
@@ -219,9 +221,21 @@ def bench_jax() -> dict:
     unf = roll_by_gather(
         unf.reshape(8, 64, 64, 2, NUM_ROT), idx8.astype(jnp.float32)
     ).reshape(8, 64, 64, 16)
+    # NCHW-spine serving entry vs the NHWC entry (same kernels/einsums)
+    from equiadapt_tpu.ops.pallas.select_warp import pallas_rotate_select_nchw
+
+    sel_nchw = jax.jit(
+        lambda a, i: jnp.moveaxis(
+            pallas_rotate_select_nchw(
+                jnp.moveaxis(a, -1, 1), i, NUM_ROT, -1.0, "border"
+            ),
+            1, -1,
+        )
+    )(xs, idx8)
     kernels_bitexact = (
         bool((sel_pallas == sel_blend).all())
         and bool((sel_fast_pallas == sel_fast_xla).all())
+        and bool((sel_nchw == sel_fast_xla).all())
         and bool((sh_tpu == sh_itp).all())
         and bool((fused == unf).all())
     )

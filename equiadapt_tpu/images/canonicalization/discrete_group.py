@@ -114,6 +114,83 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
         """Subclass hook -> ((B, |G|) activations, extras dict)."""
         raise NotImplementedError
 
+    def get_group_activations_nchw(self, x_nchw: Array, training: bool):
+        """Optional subclass hook: activations from an (B, C, H, W) batch.
+
+        Returning non-None opts the canonicalizer into the NCHW-spine
+        serving path (see `_canonicalize_nchw_fast`). Base returns None —
+        the orbit-scoring (optimized) variant keeps the NHWC flow.
+        """
+        return None
+
+    def _canonicalize_nchw_fast(self, x: Array, training: bool):
+        """Eval fast-mode NCHW spine: one cast+transpose feeds every
+        consumer (energy crop/resize, residual two-pass, select kernel).
+
+        The generic path casts the NHWC input, warps it through
+        `rotate_select` (which transposes to NCHW internally), and lets the
+        energy read a separate NHWC cast — XLA then materializes an extra
+        input relayout for the divergent consumers plus moveaxis brackets
+        around the pallas custom call (~0.9 ms at 224px/batch 256,
+        docs/benchmarking.md round-3 attribution). Here the (B, C, H, W)
+        bf16 tensor is produced once; the select emits NCHW and a single
+        moveaxis feeds the prediction network. Selected planes are
+        bit-identical to the NHWC path (same kernels, same einsum
+        contractions); the energy's crop+resize runs on NCHW axes, which
+        matches the NHWC resize to float-rounding.
+
+        Returns None when the preconditions don't hold (training, exact
+        mode, non-square, targets, CPU backend, or no NCHW energy hook).
+        """
+        from equiadapt_tpu.ops.pallas.select_warp import (
+            _c_n_decomposition,
+            pallas_rotate_select_nchw,
+        )
+
+        if (
+            training
+            or self.warp_mode != "fast"
+            or x.shape[1] != x.shape[2]
+            or jax.default_backend() != "tpu"
+            or len(_c_n_decomposition(self.num_rotations, -1.0)[0]) > 4
+        ):
+            return None
+        in_dtype = x.dtype
+        dt = self.compute_dtype or x.dtype
+        x_nchw = jnp.moveaxis(x, -1, 1).astype(dt)
+        with jax.named_scope("canon/get_group_activations"):
+            energy_out = self.get_group_activations_nchw(x_nchw, training)
+            if energy_out is None:
+                return None
+            acts, extras = energy_out
+            acts = acts.astype(jnp.float32)
+        with jax.named_scope("canon/select_element"):
+            element, onehot = self.groupactivations_to_groupelement(acts, training)
+        with jax.named_scope("canon/warp"):
+            if element.reflection is not None:
+                r = element.reflection[:, None, None, None].astype(dt)
+                x_nchw = (1.0 - r) * x_nchw + r * x_nchw[..., ::-1]
+            n = self.num_rotations
+            rot_onehot = (
+                onehot[:, :n] + onehot[:, n:]
+                if self.group_type == "roto-reflection"
+                else onehot
+            )
+            idx = jnp.argmax(rot_onehot, axis=-1)
+            out = pallas_rotate_select_nchw(
+                x_nchw, idx, n, -1.0, self.padding_mode
+            )
+            x_canon = jnp.moveaxis(out, 1, -1).astype(in_dtype)
+        info = DiscreteCanonicalizationInfo(
+            group_activations=acts,
+            onehot=onehot,
+            element=element,
+            num_rotations=self.num_rotations,
+            group_type=self.group_type,
+            extras=extras,
+        )
+        return x_canon, info
+
     def groupactivations_to_groupelement(
         self, group_activations: Array, training: bool
     ) -> Tuple[DiscreteGroupElement, Array]:
@@ -160,6 +237,10 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
                 "masks" (B, N, H, W) to co-canonicalize (batched; the
                 reference loops per sample).
         """
+        if targets is None:
+            nchw_fast = self._canonicalize_nchw_fast(x, training)
+            if nchw_fast is not None:
+                return nchw_fast
         in_dtype = x.dtype
         x_energy = (
             x.astype(self.compute_dtype) if self.compute_dtype is not None else x
@@ -292,6 +373,30 @@ class GroupEquivariantImageCanonicalization(DiscreteGroupImageCanonicalization):
     def get_group_activations(self, x: Array, training: bool):
         x = self.transformations_before_canonicalization_network_forward(x)
         acts = self.canonicalization_network(x, training=training)
+        return acts, {}
+
+    def get_group_activations_nchw(self, x_nchw: Array, training: bool):
+        """NCHW-spine energy: crop + resize on (B, C, H, W) axes, then one
+        small moveaxis into the NHWC GCNN (12 MB at 64px vs transposing the
+        full-resolution batch)."""
+        if self.is_grayscale:
+            return None
+        H, W = self.in_shape[0], self.in_shape[1]
+        ch = math.ceil(H * self.input_crop_ratio)
+        cw = math.ceil(W * self.input_crop_ratio)
+        x = x_nchw
+        if (ch, cw) != (H, W):
+            top = int(round((H - ch) / 2.0))
+            left = int(round((W - cw) / 2.0))
+            x = x[:, :, top : top + ch, left : left + cw]
+        if self.resize_shape is not None:
+            B, C = x.shape[0], x.shape[1]
+            x = jax.image.resize(
+                x, (B, C, self.resize_shape, self.resize_shape), method="linear"
+            )
+        acts = self.canonicalization_network(
+            jnp.moveaxis(x, 1, -1), training=training
+        )
         return acts, {}
 
 

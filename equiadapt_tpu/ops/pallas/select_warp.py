@@ -397,6 +397,41 @@ def rotate_roll_select(
     return jnp.moveaxis(out, 1, -1)
 
 
+def pallas_rotate_select_nchw(
+    xn: Array,
+    idx: Array,
+    num_rotations: int,
+    sign: float = -1.0,
+    padding_mode: str = "border",
+    interpret: bool = False,
+) -> Array:
+    """Fast-mode select on an already-NCHW batch, emitting NCHW.
+
+    The NCHW-spine serving path (discrete_group.py) casts+transposes the
+    input once and keeps every warp consumer on that tensor; this entry
+    skips `pallas_rotate_select`'s moveaxis brackets on both sides. The
+    selected planes are bit-identical to the NHWC entry (same residual
+    einsum contraction, same kernel).
+    """
+    from equiadapt_tpu.ops.warp import rotate_twopass_from_nchw
+
+    B, C, H, W = xn.shape
+    assert H == W, "select kernel needs square images"
+    residues, src_of, k_of = _c_n_decomposition(
+        num_rotations, 1.0 if sign > 0 else -1.0
+    )
+    assert len(residues) <= 4, (num_rotations, residues)
+    idx = jnp.mod(idx.astype(jnp.int32), num_rotations)
+    src_idx = jnp.asarray(src_of, jnp.int32)[idx]
+    k_idx = jnp.asarray(k_of, jnp.int32)[idx]
+    if len(residues) == 1:
+        return _pallas_select(xn[None], src_idx, k_idx, interpret=interpret)
+    sources = [xn] + [
+        rotate_twopass_from_nchw(xn, r, padding_mode) for r in residues[1:]
+    ]
+    return _pallas_selectn(tuple(sources), src_idx, k_idx, interpret=interpret)
+
+
 def pallas_rotate_select(
     x: Array,
     idx: Array,

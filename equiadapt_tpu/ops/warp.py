@@ -46,6 +46,7 @@ __all__ = [
     "rotate",
     "rotate_discrete",
     "rotate_twopass",
+    "rotate_twopass_from_nchw",
     "rotate_select_fast",
     "warp_affine",
     "warp_center_rotation_fast_diff",
@@ -305,6 +306,35 @@ def rotate_twopass_nchw(
     V = jnp.einsum("yhw,bhwc->bywc", M1, x, preferred_element_type=jnp.float32)
     out = jnp.einsum(
         "ywx,bywc->bcyx", M2, V.astype(dt), preferred_element_type=jnp.float32
+    ).astype(dt)
+    return jnp.rot90(out, k=k, axes=(2, 3)) if k else out
+
+
+def rotate_twopass_from_nchw(
+    x: Array, angle_deg: float, padding_mode: str = "border"
+) -> Array:
+    """`rotate_twopass_nchw` for an (B, C, H, W) input: NCHW in, NCHW out.
+
+    Used by the NCHW-spine serving path (discrete_group.py), where the
+    batch is cast+transposed once and every warp consumer reads the NCHW
+    tensor — the einsums contract over the same axes in the same order as
+    the NHWC-in variant, so the outputs are bit-identical (asserted on
+    hardware by the bench's kernel-equality block).
+    """
+    B, C, H, W = x.shape
+    ang = float(angle_deg) % 360.0
+    k = int(round(ang / 90.0))
+    r = ang - 90.0 * k  # [-45, 45]
+    k %= 4
+    if H != W:
+        raise ValueError("rotate_twopass_from_nchw requires square images")
+    if abs(r) < 1e-9:
+        return jnp.rot90(x, k=k, axes=(2, 3)) if k else x
+    dt = x.dtype
+    M1, M2 = _twopass_matrices(H, W, r, padding_mode, dt)
+    V = jnp.einsum("yhw,bchw->bcyw", M1, x, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        "ywx,bcyw->bcyx", M2, V.astype(dt), preferred_element_type=jnp.float32
     ).astype(dt)
     return jnp.rot90(out, k=k, axes=(2, 3)) if k else out
 

@@ -231,3 +231,42 @@ def test_optimized_canonicalizer_selection_shifts_under_rotation():
     sel = np.argmax(np.asarray(info.group_activations), -1)
     sel_rot = np.argmax(np.asarray(info_rot.group_activations), -1)
     np.testing.assert_array_equal((sel + 1) % 4, sel_rot)
+
+
+def test_nchw_energy_hook_matches_nhwc_path():
+    """get_group_activations_nchw (NCHW crop/resize spine) selects the same
+    group elements as the NHWC energy path and matches its activations to
+    float rounding."""
+    import math
+
+    from equiadapt_tpu.images import (
+        EquivariantNetwork, GroupEquivariantImageCanonicalization,
+    )
+
+    net = EquivariantNetwork(
+        in_channels=3, out_channels=8, kernel_size=3, group_type="rotation",
+        num_rotations=8, num_layers=2,
+    )
+    canon = GroupEquivariantImageCanonicalization(
+        canonicalization_network=net, in_shape=(32, 32, 3),
+        input_crop_ratio=0.9, resize_shape=16,
+        num_rotations=8, group_type="rotation",
+    )
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)).astype(np.float32))
+    params = canon.init(jax.random.key(0), x, training=False)
+
+    def nhwc(m, a, training):
+        return m.get_group_activations(a, training)[0]
+
+    def nchw(m, a, training):
+        return m.get_group_activations_nchw(a, training)[0]
+
+    acts_ref = canon.apply(params, x, False, method=nhwc)
+    acts_nchw = canon.apply(params, jnp.moveaxis(x, -1, 1), False, method=nchw)
+    np.testing.assert_allclose(
+        np.asarray(acts_nchw), np.asarray(acts_ref), rtol=1e-5, atol=1e-5
+    )
+    assert np.array_equal(
+        np.argmax(np.asarray(acts_nchw), -1), np.argmax(np.asarray(acts_ref), -1)
+    )

@@ -261,3 +261,18 @@ def test_continuous_canonicalizer_fast_training_grads_and_output():
     xc_e, _ = exact.apply(params, x, training=True)
     err = jnp.abs(xc_f - xc_e) * _disk_mask(32)
     assert float(err.max()) < 0.06, float(err.max())
+
+
+def test_rotate_twopass_from_nchw_matches_nhwc_in():
+    """NCHW-in twopass == NHWC-in twopass (same contraction axes/order)."""
+    import numpy as np
+
+    from equiadapt_tpu.ops.warp import (
+        rotate_twopass_from_nchw, rotate_twopass_nchw,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(3, 20, 20, 3)).astype(np.float32))
+    a = rotate_twopass_nchw(x, 45.0, "border")
+    b = rotate_twopass_from_nchw(jnp.moveaxis(x, -1, 1), 45.0, "border")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -122,3 +122,41 @@ def test_rotate_roll_select_dn_reflection(n):
         mode="fast",
     )
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_rotate_select_nchw_matches_nhwc_entry():
+    """The NCHW-spine entry returns the same planes as the NHWC entry
+    (same residual einsums, same kernel) for C8 fast mode."""
+    import numpy as np
+
+    from equiadapt_tpu.ops.pallas.select_warp import (
+        pallas_rotate_select, pallas_rotate_select_nchw,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(6, 16, 16, 3)).astype(np.float32))
+    idx = jnp.asarray([0, 1, 2, 3, 5, 7], jnp.int32)
+    ref = pallas_rotate_select(x, idx, 8, -1.0, "border", interpret=True,
+                               mode="fast")
+    out = pallas_rotate_select_nchw(
+        jnp.moveaxis(x, -1, 1), idx, 8, -1.0, "border", interpret=True
+    )
+    assert bool((jnp.moveaxis(out, 1, -1) == ref).all())
+
+
+def test_pallas_rotate_select_nchw_c4_single_source():
+    import numpy as np
+
+    from equiadapt_tpu.ops.pallas.select_warp import (
+        pallas_rotate_select, pallas_rotate_select_nchw,
+    )
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    idx = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    ref = pallas_rotate_select(x, idx, 4, -1.0, "border", interpret=True,
+                               mode="fast")
+    out = pallas_rotate_select_nchw(
+        jnp.moveaxis(x, -1, 1), idx, 4, -1.0, "border", interpret=True
+    )
+    assert bool((jnp.moveaxis(out, 1, -1) == ref).all())
