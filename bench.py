@@ -224,18 +224,24 @@ def bench_jax() -> dict:
     # NCHW-spine serving entry vs the NHWC entry (same kernels/einsums)
     from equiadapt_tpu.ops.pallas.select_warp import pallas_rotate_select_nchw
 
-    sel_nchw = jax.jit(
-        lambda a, i: jnp.moveaxis(
-            pallas_rotate_select_nchw(
-                jnp.moveaxis(a, -1, 1), i, NUM_ROT, -1.0, "border"
-            ),
-            1, -1,
-        )
-    )(xs, idx8)
+    def _nchw_entry(mode):
+        return jax.jit(
+            lambda a, i: jnp.moveaxis(
+                pallas_rotate_select_nchw(
+                    jnp.moveaxis(a, -1, 1), i, NUM_ROT, -1.0, "border",
+                    mode=mode,
+                ),
+                1, -1,
+            )
+        )(xs, idx8)
+
+    sel_nchw = _nchw_entry("fast")
+    sel_nchw_exact = _nchw_entry("exact")
     kernels_bitexact = (
         bool((sel_pallas == sel_blend).all())
         and bool((sel_fast_pallas == sel_fast_xla).all())
         and bool((sel_nchw == sel_fast_xla).all())
+        and bool((sel_nchw_exact == sel_blend).all())
         and bool((sh_tpu == sh_itp).all())
         and bool((fused == unf).all())
     )

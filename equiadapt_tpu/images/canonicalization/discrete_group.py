@@ -139,8 +139,14 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
         contractions); the energy's crop+resize runs on NCHW axes, which
         matches the NHWC resize to float-rounding.
 
-        Returns None when the preconditions don't hold (training, exact
-        mode, non-square, targets, CPU backend, or no NCHW energy hook).
+        Applies to both warp modes (the exact mode's static-tap residual
+        sources have an NCHW entry too, `ops/warp._static_rotate_from_nchw`,
+        bit-identical to the NHWC taps). The energy's crop+resize runs on
+        NCHW axes — a float-rounding-level layout difference from the NHWC
+        resize, argmax-stable in tests (see DEVIATIONS.md).
+
+        Returns None when the preconditions don't hold (training,
+        non-square, targets, CPU backend, or no NCHW energy hook).
         """
         from equiadapt_tpu.ops.pallas.select_warp import (
             _c_n_decomposition,
@@ -149,7 +155,6 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
 
         if (
             training
-            or self.warp_mode != "fast"
             or x.shape[1] != x.shape[2]
             or jax.default_backend() != "tpu"
             or len(_c_n_decomposition(self.num_rotations, -1.0)[0]) > 4
@@ -178,7 +183,7 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
             )
             idx = jnp.argmax(rot_onehot, axis=-1)
             out = pallas_rotate_select_nchw(
-                x_nchw, idx, n, -1.0, self.padding_mode
+                x_nchw, idx, n, -1.0, self.padding_mode, mode=self.warp_mode
             )
             x_canon = jnp.moveaxis(out, 1, -1).astype(in_dtype)
         info = DiscreteCanonicalizationInfo(

@@ -404,16 +404,20 @@ def pallas_rotate_select_nchw(
     sign: float = -1.0,
     padding_mode: str = "border",
     interpret: bool = False,
+    mode: str = "fast",
 ) -> Array:
-    """Fast-mode select on an already-NCHW batch, emitting NCHW.
+    """Select on an already-NCHW batch, emitting NCHW.
 
     The NCHW-spine serving path (discrete_group.py) casts+transposes the
     input once and keeps every warp consumer on that tensor; this entry
     skips `pallas_rotate_select`'s moveaxis brackets on both sides. The
-    selected planes are bit-identical to the NHWC entry (same residual
-    einsum contraction, same kernel).
+    selected planes are bit-identical to the NHWC entry for both modes
+    (same residual einsum contraction / static taps, same kernel).
     """
-    from equiadapt_tpu.ops.warp import rotate_twopass_from_nchw
+    from equiadapt_tpu.ops.warp import (
+        _static_rotate_from_nchw,
+        rotate_twopass_from_nchw,
+    )
 
     B, C, H, W = xn.shape
     assert H == W, "select kernel needs square images"
@@ -426,9 +430,10 @@ def pallas_rotate_select_nchw(
     k_idx = jnp.asarray(k_of, jnp.int32)[idx]
     if len(residues) == 1:
         return _pallas_select(xn[None], src_idx, k_idx, interpret=interpret)
-    sources = [xn] + [
-        rotate_twopass_from_nchw(xn, r, padding_mode) for r in residues[1:]
-    ]
+    residual = (
+        rotate_twopass_from_nchw if mode == "fast" else _static_rotate_from_nchw
+    )
+    sources = [xn] + [residual(xn, r, padding_mode) for r in residues[1:]]
     return _pallas_selectn(tuple(sources), src_idx, k_idx, interpret=interpret)
 
 

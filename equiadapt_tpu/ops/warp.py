@@ -234,6 +234,25 @@ def _static_rotate(x: Array, angle_deg: float, padding_mode: str) -> Array:
     return out.reshape(B, H, W, C)
 
 
+def _static_rotate_from_nchw(x: Array, angle_deg: float, padding_mode: str) -> Array:
+    """`_static_rotate` for (B, C, H, W) input, emitting NCHW.
+
+    Same static taps, weights, and summation order as the NHWC entry —
+    bit-identical values (the gather runs over the flattened H*W axis of
+    the NCHW layout instead). Feeds the exact-mode NCHW-spine select."""
+    B, C, H, W = x.shape
+    k = angle_deg / 90.0
+    if H == W and abs(k - round(k)) < 1e-9:
+        return jnp.rot90(x, k=int(round(k)) % 4, axes=(2, 3))
+    idx, wts = _static_warp_taps(H, W, float(angle_deg) % 360.0, padding_mode)
+    flat = x.reshape(B, C, H * W)
+    out = None
+    for t in range(4):
+        tap = jnp.take(flat, jnp.asarray(idx[t]), axis=2) * jnp.asarray(wts[t])[None, None, :]
+        out = tap if out is None else out + tap
+    return out.reshape(B, C, H, W).astype(x.dtype)
+
+
 def _twopass_matrices(H: int, W: int, angle_deg: float, padding_mode: str, dtype):
     """Two-pass (row, then column) rotation resampling matrices, built
     on-device from iota (never baked as HLO constants — see

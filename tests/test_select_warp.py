@@ -160,3 +160,24 @@ def test_pallas_rotate_select_nchw_c4_single_source():
         jnp.moveaxis(x, -1, 1), idx, 4, -1.0, "border", interpret=True
     )
     assert bool((jnp.moveaxis(out, 1, -1) == ref).all())
+
+
+def test_pallas_rotate_select_nchw_exact_mode():
+    """Exact-mode NCHW entry (static-tap residual sources) matches the
+    NHWC exact entry bit for bit."""
+    import numpy as np
+
+    from equiadapt_tpu.ops.pallas.select_warp import (
+        pallas_rotate_select, pallas_rotate_select_nchw,
+    )
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(6, 16, 16, 3)).astype(np.float32))
+    idx = jnp.asarray([0, 1, 2, 3, 5, 7], jnp.int32)
+    ref = pallas_rotate_select(x, idx, 8, -1.0, "border", interpret=True,
+                               mode="exact")
+    out = pallas_rotate_select_nchw(
+        jnp.moveaxis(x, -1, 1), idx, 8, -1.0, "border", interpret=True,
+        mode="exact",
+    )
+    assert bool((jnp.moveaxis(out, 1, -1) == ref).all())
