@@ -42,6 +42,9 @@ class NetworkHyperparams:
     # serving-mode energy: 2x2/s2 avg pool after the GCNN lift (exactly
     # rot90-equivariant on even sizes; 4x cheaper group convs)
     pool_after_lift: bool = False
+    # round-3 serving preset: fold the pool INTO the lift filters (stride-2
+    # conv; the full-resolution lift output is never materialized)
+    fused_pool_lift: bool = False
     hidden_dim: int = 16
     layer_pooling: str = "mean"
     final_pooling: str = "mean"

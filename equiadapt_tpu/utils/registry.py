@@ -71,6 +71,7 @@ def get_image_canonicalization_network(
                 in_channels=C, out_channels=h.out_channels, kernel_size=h.kernel_size,
                 group_type=h.group_type, num_rotations=h.num_rotations,
                 num_layers=h.num_layers, pool_after_lift=h.pool_after_lift,
+                fused_pool_lift=h.fused_pool_lift,
             ),
             "equivariant_wrn": lambda: EquivariantWideResNet(
                 in_channels=C, out_channels=h.out_channels, kernel_size=h.kernel_size,
