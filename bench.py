@@ -451,11 +451,32 @@ def bench_jax() -> dict:
         bare(resnet_bf16), (res_params_bf16, xp2),
         wrapped(canon_serving, resnet_bf16), (canon_params, res_params_bf16, xp2),
     )
+    # C4 serving overhead (BASELINE config 1's group): every element is an
+    # exact rot90, so the warp is ONE single-source select pass — no
+    # residual two-pass. Reported alongside the C8 headline.
+    net_c4 = EquivariantNetwork(
+        in_channels=3, out_channels=8, kernel_size=3, group_type="rotation",
+        num_rotations=4, num_layers=2, fused_pool_lift=True,
+    )
+    canon_c4 = GroupEquivariantImageCanonicalization(
+        canonicalization_network=net_c4, in_shape=(IMAGE, IMAGE, 3),
+        input_crop_ratio=CROP_RATIO, resize_shape=RESIZE,
+        num_rotations=4, group_type="rotation",
+        warp_mode="fast", compute_dtype=jnp.bfloat16,
+    )
+    canon_c4_params = jax.jit(lambda k, s: canon_c4.init(k, s, training=False))(
+        jax.random.key(6), small
+    )
+    _, _, d16c4, ci16c4 = paired_overhead(
+        bare(resnet_bf16), (res_params_bf16, xp2),
+        wrapped(canon_c4, resnet_bf16), (canon_c4_params, res_params_bf16, xp2),
+    )
     out.update({
         "bare_fp32_ms": b32, "wrapped_fp32_exact_ms": w32,
         "bare_bf16_ms": b16, "wrapped_bf16_fast_ms": w16,
         "overhead_fp32_exact_ms": d32, "overhead_fp32_exact_ci_ms": ci32,
         "overhead_bf16_fast_ms": d16, "overhead_bf16_fast_ci_ms": ci16,
+        "overhead_bf16_fast_c4_ms": d16c4, "overhead_bf16_fast_c4_ci_ms": ci16c4,
     })
     out["tput_fast_img_s"] = BATCH_TPU / out["tput_fast_ms"] * 1e3
     out["tput_exact_img_s"] = BATCH_TPU / out["tput_exact_ms"] * 1e3
@@ -565,6 +586,12 @@ def main() -> None:
                 "wrapper_overhead_ms": round(m["overhead_bf16_fast_ms"], 3),
                 "wrapper_overhead_ci_ms": round(
                     m["overhead_bf16_fast_ci_ms"], 3
+                ),
+                "wrapper_overhead_pct_c4": round(
+                    100.0 * m["overhead_bf16_fast_c4_ms"] / m["bare_bf16_ms"], 2
+                ),
+                "wrapper_overhead_c4_ci_ms": round(
+                    m["overhead_bf16_fast_c4_ci_ms"], 3
                 ),
                 "wrapper_overhead_pct_fp32_exact": round(
                     m["overhead_fp32_exact_pct"], 2
