@@ -148,15 +148,23 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
         Returns None when the preconditions don't hold (training,
         non-square, targets, CPU backend, or no NCHW energy hook).
         """
+        import os
+
         from equiadapt_tpu.ops.pallas.select_warp import (
             _c_n_decomposition,
             pallas_rotate_select_nchw,
         )
 
+        # EQUIADAPT_NCHW_SPINE: "auto" (TPU only, default), "never", or
+        # "interpret" (force the branch through the interpret-mode kernel —
+        # lets the CPU test suite drive this path end-to-end)
+        spine = os.environ.get("EQUIADAPT_NCHW_SPINE", "auto")
+        interpret = spine == "interpret"
         if (
             training
+            or spine == "never"
             or x.shape[1] != x.shape[2]
-            or jax.default_backend() != "tpu"
+            or (jax.default_backend() != "tpu" and not interpret)
             or len(_c_n_decomposition(self.num_rotations, -1.0)[0]) > 4
         ):
             return None
@@ -183,7 +191,8 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
             )
             idx = jnp.argmax(rot_onehot, axis=-1)
             out = pallas_rotate_select_nchw(
-                x_nchw, idx, n, -1.0, self.padding_mode, mode=self.warp_mode
+                x_nchw, idx, n, -1.0, self.padding_mode,
+                interpret=interpret, mode=self.warp_mode,
             )
             x_canon = jnp.moveaxis(out, 1, -1).astype(in_dtype)
         info = DiscreteCanonicalizationInfo(

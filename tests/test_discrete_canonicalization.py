@@ -270,3 +270,44 @@ def test_nchw_energy_hook_matches_nhwc_path():
     assert np.array_equal(
         np.argmax(np.asarray(acts_nchw), -1), np.argmax(np.asarray(acts_ref), -1)
     )
+
+
+@pytest.mark.parametrize("warp_mode,group_type,n", [
+    ("fast", "rotation", 8),
+    ("exact", "rotation", 8),
+    ("fast", "roto-reflection", 4),
+])
+def test_nchw_spine_canonicalize_matches_nhwc_path(
+    monkeypatch, warp_mode, group_type, n
+):
+    """EQUIADAPT_NCHW_SPINE=interpret drives the TPU serving branch
+    end-to-end on CPU: selected elements match the generic path and the
+    canonicalized images are bit-identical (crop_ratio 1.0 keeps the
+    NCHW/NHWC resize identical; the warp is bit-exact by construction)."""
+    from equiadapt_tpu.images import (
+        EquivariantNetwork, GroupEquivariantImageCanonicalization,
+    )
+
+    net = EquivariantNetwork(
+        in_channels=3, out_channels=4, kernel_size=3, group_type=group_type,
+        num_rotations=n, num_layers=2,
+    )
+    canon = GroupEquivariantImageCanonicalization(
+        canonicalization_network=net, in_shape=(24, 24, 3),
+        input_crop_ratio=1.0, resize_shape=16,
+        num_rotations=n, group_type=group_type, warp_mode=warp_mode,
+    )
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(5, 24, 24, 3)).astype(np.float32))
+    params = canon.init(jax.random.key(0), x, training=False)
+
+    monkeypatch.setenv("EQUIADAPT_NCHW_SPINE", "never")
+    x_ref, info_ref = canon.apply(params, x, training=False)
+    monkeypatch.setenv("EQUIADAPT_NCHW_SPINE", "interpret")
+    x_spine, info_spine = canon.apply(params, x, training=False)
+
+    assert np.array_equal(
+        np.asarray(info_spine.element.rotation_deg),
+        np.asarray(info_ref.element.rotation_deg),
+    )
+    assert bool((x_spine == x_ref).all())
