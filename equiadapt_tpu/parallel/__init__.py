@@ -12,6 +12,13 @@ from equiadapt_tpu.parallel.fsdp import (
     shard_state_fsdp,
 )
 
+from equiadapt_tpu.parallel.tp import (
+    make_mesh_2d,
+    shard_params_tp,
+    shard_state_tp,
+    vit_tp_spec,
+)
+
 __all__ = [
     "data_parallel_jit",
     "init_distributed",
@@ -21,4 +28,8 @@ __all__ = [
     "fsdp_sharding",
     "shard_params_fsdp",
     "shard_state_fsdp",
+    "make_mesh_2d",
+    "shard_params_tp",
+    "shard_state_tp",
+    "vit_tp_spec",
 ]

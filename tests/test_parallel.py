@@ -92,3 +92,79 @@ def test_multiprocess_dp_two_local_processes(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"pid {pid} failed:\n{out[-3000:]}"
         assert f"MULTIPROC_OK pid={pid} procs=2" in out, out[-2000:]
+
+
+def test_tensor_parallel_vit_step_matches_replicated():
+    """TP over a (2, 4) mesh: the Megatron param split must not change the
+    math — one train step produces the same loss/params as the fully
+    replicated DP run, and the attention/MLP leaves really are sharded
+    over the "model" axis."""
+    import optax
+
+    from equiadapt_tpu.models import ViT
+    from equiadapt_tpu.parallel import (
+        make_mesh_2d, replicate, shard_batch, shard_state_tp, vit_tp_spec,
+    )
+    from equiadapt_tpu.pipelines import create_train_state, make_train_step
+
+    vit = ViT(num_classes=4, patch_size=4, hidden_dim=16, num_layers=2,
+              num_heads=4, mlp_dim=32)
+
+    import flax.linen as nn
+
+    class Plain(nn.Module):
+        net: nn.Module
+
+        @nn.compact
+        def __call__(self, x, training=False):
+            return self.net(x, training=training), None
+
+    # bare ViT classifier pipeline-shaped wrapper (logits, info)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(8, 16, 16, 3)).astype(np.float32),
+        "label": rng.integers(0, 4, size=(8,)).astype(np.int32),
+    }
+    tx = optax.adamw(1e-3)
+    model = Plain(net=vit)
+    state0 = create_train_state(model, jax.random.key(0), batch["image"], tx)
+    step = make_train_step({"prior_weight": 0.0}, jit=False)
+
+    mesh = make_mesh_2d(2, 4)
+    # replicated run
+    s_rep = replicate(state0, mesh)
+    b = shard_batch(batch, mesh)
+    s_rep, m_rep = jax.jit(step)(s_rep, b, jax.random.key(1))
+
+    # TP run
+    s_tp = shard_state_tp(replicate(state0, mesh), mesh)
+    sharded_paths = []
+    def collect(path, leaf):
+        spec = leaf.sharding.spec if hasattr(leaf.sharding, "spec") else None
+        if spec and any(s == "model" for s in spec):
+            sharded_paths.append("/".join(str(getattr(k, "key", k)) for k in path))
+        return leaf
+    jax.tree_util.tree_map_with_path(collect, s_tp.params)
+    assert any("MultiHeadDotProductAttention" in p for p in sharded_paths)
+    assert any("Dense_0" in p for p in sharded_paths)
+
+    s_tp, m_tp = jax.jit(step)(s_tp, b, jax.random.key(1))
+    np.testing.assert_allclose(
+        float(m_tp["loss/total"]), float(m_rep["loss/total"]), rtol=1e-5
+    )
+    # attention key biases are excluded: softmax is shift-invariant in
+    # the key bias (q . b is constant over the softmax axis), so their true
+    # gradient is identically zero — adamw then amplifies float-noise
+    # gradients (whose reduction ORDER differs between the TP psum and the
+    # replicated sum) to full lr-size steps in both runs.
+    from jax.tree_util import keystr, tree_leaves_with_path
+
+    for (path, a), (_, c) in zip(
+        tree_leaves_with_path(s_rep.params), tree_leaves_with_path(s_tp.params)
+    ):
+        if "key']['bias" in keystr(path):
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-5,
+            err_msg=keystr(path),
+        )
