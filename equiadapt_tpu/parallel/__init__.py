@@ -14,6 +14,7 @@ from equiadapt_tpu.parallel.fsdp import (
 
 from equiadapt_tpu.parallel.tp import (
     make_mesh_2d,
+    sam_tp_spec,
     shard_params_tp,
     shard_state_tp,
     vit_tp_spec,
@@ -29,6 +30,7 @@ __all__ = [
     "shard_params_fsdp",
     "shard_state_fsdp",
     "make_mesh_2d",
+    "sam_tp_spec",
     "shard_params_tp",
     "shard_state_tp",
     "vit_tp_spec",

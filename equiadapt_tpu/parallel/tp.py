@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh_2d",
     "vit_tp_spec",
+    "sam_tp_spec",
     "shard_params_tp",
     "shard_state_tp",
 ]
@@ -85,6 +86,34 @@ def vit_tp_spec(path: str, shape: Tuple[int, ...], axis: str = "model") -> Optio
             return P(axis)  # (mlp_dim,)
     if _MLP_DOWN_KERNEL.search(path) and len(shape) == 2:
         return P(axis, None)  # (mlp_dim, D)
+    return None
+
+
+_SAM_QKV = re.compile(r"block\d+/attn/qkv/(kernel|bias)$")
+_SAM_PROJ = re.compile(r"block\d+/attn/proj/kernel$")
+_SAM_LIN1 = re.compile(r"block\d+/lin1/(kernel|bias)$")
+_SAM_LIN2 = re.compile(r"block\d+/lin2/kernel$")
+
+
+def sam_tp_spec(path: str, shape: Tuple[int, ...], axis: str = "model") -> Optional[P]:
+    """Megatron split for the SAM ViT encoder layout (models/sam_encoder.py:
+    block{i}/attn/{qkv,proj} + lin1/lin2 MLP).
+
+    The packed qkv projection is column-sharded on its (3*C) output axis;
+    the C-sized q/k/v segments are not interleaved per device, so SPMD
+    inserts a reshard at the (3, heads, head_dim) reshape — correct by SPMD
+    semantics, with one extra collective vs an interleaved packing (a
+    converted pretrained checkpoint keeps torch's packing, so we keep the
+    layout and pay the reshard).
+    """
+    if _SAM_QKV.search(path):
+        return P(None, axis) if len(shape) == 2 else P(axis)
+    if _SAM_PROJ.search(path) and len(shape) == 2:
+        return P(axis, None)
+    if _SAM_LIN1.search(path):
+        return P(None, axis) if len(shape) == 2 else P(axis)
+    if _SAM_LIN2.search(path) and len(shape) == 2:
+        return P(axis, None)
     return None
 
 

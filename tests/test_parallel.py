@@ -168,3 +168,43 @@ def test_tensor_parallel_vit_step_matches_replicated():
             np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-5,
             err_msg=keystr(path),
         )
+
+
+def test_tensor_parallel_sam_encoder_forward_matches_replicated():
+    """sam_tp_spec shards the SAM encoder's qkv/proj/lin1/lin2 over the
+    model axis; the TP forward must match the replicated forward (SPMD
+    correctness is layout-independent)."""
+    from equiadapt_tpu.models.sam_encoder import SamVitEncoder
+    from equiadapt_tpu.parallel import (
+        make_mesh_2d, sam_tp_spec, shard_batch, shard_params_tp,
+    )
+
+    enc = SamVitEncoder(
+        img_size=32, patch_size=8, embed_dim=16, depth=2, num_heads=4,
+        out_chans=8, window_size=2, global_attn_indexes=(1,),
+    )
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 32, 32, 3)).astype(np.float32)
+    params = enc.init(jax.random.key(0), jnp.asarray(x))
+
+    mesh = make_mesh_2d(2, 4)
+    xb = shard_batch({"x": x}, mesh)["x"]
+    rep = NamedSharding(mesh, P())
+    p_rep = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), params)
+    p_tp = shard_params_tp(params, mesh, spec_fn=sam_tp_spec)
+
+    sharded = []
+    def collect(path, leaf):
+        spec = getattr(leaf.sharding, "spec", None)
+        if spec and any(s == "model" for s in spec):
+            sharded.append("/".join(str(getattr(k, "key", k)) for k in path))
+        return leaf
+    jax.tree_util.tree_map_with_path(collect, p_tp)
+    assert any("qkv" in p for p in sharded) and any("lin1" in p for p in sharded)
+
+    f = jax.jit(lambda p, a: enc.apply(p, a))
+    out_rep = f(p_rep, xb)
+    out_tp = f(p_tp, xb)
+    np.testing.assert_allclose(
+        np.asarray(out_tp), np.asarray(out_rep), rtol=2e-5, atol=2e-6
+    )
