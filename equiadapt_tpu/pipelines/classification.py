@@ -51,12 +51,24 @@ class ImageClassifierPipeline(nn.Module):
 
     canonicalizer: nn.Module
     prediction_network: nn.Module
+    # rematerialize the prediction network's activations on the backward
+    # pass (jax.checkpoint via the flax lifted transform): trades ~1/3 more
+    # FLOPs for activation memory, the standard lever for fitting frozen
+    # foundation-model backbones (SAM/ViT at large batch) in HBM
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False):
         out = self.canonicalizer(x, training=training)
         x_canon, info = out
-        logits = self.prediction_network(x_canon, training=training)
+        if self.remat:
+            apply = nn.remat(
+                lambda mdl, xc, train: mdl(xc, training=train),
+                static_argnums=(2,),
+            )
+            logits = apply(self.prediction_network, x_canon, training)
+        else:
+            logits = self.prediction_network(x_canon, training=training)
         return logits, info
 
     def invert(self, info, y, **kw):

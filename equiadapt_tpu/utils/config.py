@@ -132,6 +132,9 @@ class PredictionConfig:
     # computation dtype name ("bfloat16" for the production serving mode);
     # None keeps fp32 (params are always fp32)
     dtype: Optional[str] = None
+    # rematerialize prediction-network activations on backward (memory vs
+    # ~1/3 extra forward FLOPs — pipelines/classification.py remat field)
+    remat: bool = False
 
 
 @dataclass(frozen=True)

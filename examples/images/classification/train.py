@@ -65,7 +65,10 @@ def build_pipeline(cfg: Config) -> ImageClassifierPipeline:
         cfg.prediction, cfg.dataset.num_classes,
         small_images=cfg.dataset.image_size <= 64,
     )
-    return ImageClassifierPipeline(canonicalizer=canon, prediction_network=pred)
+    return ImageClassifierPipeline(
+        canonicalizer=canon, prediction_network=pred,
+        remat=cfg.prediction.remat,
+    )
 
 
 def get_batches(cfg: Config, rng, num_batches: int, split: str = "train"):

@@ -219,3 +219,47 @@ def test_fsdp_sharded_train_step_on_mesh():
     assert np.isfinite(float(metrics["loss/total"]))
     state, metrics2 = step(state, shard_batch(batch, mesh), jax.random.key(3))
     assert np.isfinite(float(metrics2["loss/total"]))
+
+
+def test_remat_pipeline_matches_plain_gradients():
+    """remat=True must not change logits or gradients (it only changes
+    what is stored vs recomputed on the backward pass)."""
+    import optax
+
+    from equiadapt_tpu.models import ResNet18
+    from equiadapt_tpu.images import (
+        EquivariantNetwork, GroupEquivariantImageCanonicalization,
+    )
+    from equiadapt_tpu.pipelines import (
+        ImageClassifierPipeline, create_train_state, make_train_step,
+    )
+
+    net = EquivariantNetwork(in_channels=3, out_channels=4, kernel_size=3,
+                             group_type="rotation", num_rotations=4,
+                             num_layers=2)
+    canon = GroupEquivariantImageCanonicalization(
+        canonicalization_network=net, in_shape=(16, 16, 3),
+        num_rotations=4, group_type="rotation",
+    )
+    pred = ResNet18(num_classes=4, small_images=True)
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": rng.normal(size=(4, 16, 16, 3)).astype(np.float32),
+        "label": rng.integers(0, 4, size=(4,)).astype(np.int32),
+    }
+    tx = optax.sgd(1e-2)
+    step = make_train_step({"prior_weight": 1.0}, jit=True)
+    outs = []
+    for use_remat in (False, True):
+        pipe = ImageClassifierPipeline(
+            canonicalizer=canon, prediction_network=pred, remat=use_remat
+        )
+        state = create_train_state(pipe, jax.random.key(0), batch["image"], tx)
+        state, metrics = step(state, batch, jax.random.key(1))
+        outs.append((float(metrics["loss/total"]), state.params))
+    assert np.allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[0][1]), jax.tree_util.tree_leaves(outs[1][1])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
