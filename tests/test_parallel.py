@@ -208,3 +208,46 @@ def test_tensor_parallel_sam_encoder_forward_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(out_tp), np.asarray(out_rep), rtol=2e-5, atol=2e-6
     )
+
+
+def test_sharded_state_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint/restore_checkpoint on a TP-sharded TrainState: the
+    restore target's shardings are honored (orbax restores distributed
+    arrays directly onto the mesh) and values round-trip exactly."""
+    import optax
+
+    from equiadapt_tpu.models import ViT
+    from equiadapt_tpu.parallel import make_mesh_2d, replicate, shard_state_tp
+    from equiadapt_tpu.pipelines import create_train_state
+    from equiadapt_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    import flax.linen as nn
+
+    class Plain(nn.Module):
+        net: nn.Module
+
+        @nn.compact
+        def __call__(self, x, training=False):
+            return self.net(x, training=training), None
+
+    vit = ViT(num_classes=4, patch_size=4, hidden_dim=16, num_layers=1,
+              num_heads=4, mlp_dim=32)
+    x = np.zeros((2, 16, 16, 3), np.float32)
+    state = create_train_state(Plain(net=vit), jax.random.key(0), x, optax.adamw(1e-3))
+    mesh = make_mesh_2d(2, 4)
+    state_tp = shard_state_tp(replicate(state, mesh), mesh)
+    save_checkpoint(str(tmp_path / "ck"), state_tp)
+
+    # fresh template with the same shardings but different values
+    state2 = create_train_state(Plain(net=vit), jax.random.key(9), x, optax.adamw(1e-3))
+    tpl = shard_state_tp(replicate(state2, mesh), mesh)
+    restored = restore_checkpoint(str(tmp_path / "ck"), tpl)
+
+    from jax.tree_util import tree_leaves_with_path, keystr
+
+    for (p, a), (_, b) in zip(
+        tree_leaves_with_path(state_tp.params), tree_leaves_with_path(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=keystr(p))
+        if hasattr(a, "sharding") and hasattr(b, "sharding"):
+            assert b.sharding.is_equivalent_to(a.sharding, a.ndim), keystr(p)
