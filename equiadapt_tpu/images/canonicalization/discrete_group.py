@@ -152,7 +152,7 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
 
         from equiadapt_tpu.ops.pallas.select_warp import (
             _c_n_decomposition,
-            pallas_rotate_select_nchw,
+            rotate_select_nchw,
         )
 
         # EQUIADAPT_NCHW_SPINE: "auto" (TPU only, default), "never", or
@@ -190,9 +190,9 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
                 else onehot
             )
             idx = jnp.argmax(rot_onehot, axis=-1)
-            out = pallas_rotate_select_nchw(
+            out = rotate_select_nchw(
                 x_nchw, idx, n, -1.0, self.padding_mode,
-                interpret=interpret, mode=self.warp_mode,
+                self.warp_mode, interpret,
             )
             x_canon = jnp.moveaxis(out, 1, -1).astype(in_dtype)
         info = DiscreteCanonicalizationInfo(

@@ -437,6 +437,53 @@ def pallas_rotate_select_nchw(
     return _pallas_selectn(tuple(sources), src_idx, k_idx, interpret=interpret)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def rotate_select_nchw(
+    x: Array,
+    idx: Array,
+    num_rotations: int,
+    sign: float = -1.0,
+    padding_mode: str = "border",
+    mode: str = "fast",
+    interpret: bool = False,
+) -> Array:
+    """`pallas_rotate_select_nchw` with the same custom VJP contract as
+    `rotate_select`: linear in x (backward = linear transpose of the
+    matching NHWC formulation bracketed by moveaxis — grad-through-eval
+    is rare, so the backward does not need the NCHW fast path), no
+    gradient to `idx`. Keeps eval-mode canonicalize differentiable in x
+    on the NCHW spine."""
+    return pallas_rotate_select_nchw(
+        x, idx, num_rotations, sign, padding_mode, interpret=interpret, mode=mode
+    )
+
+
+def _rsn_fwd(x, idx, num_rotations, sign, padding_mode, mode, interpret):
+    out = rotate_select_nchw(
+        x, idx, num_rotations, sign, padding_mode, mode, interpret
+    )
+    token = jnp.zeros((0,) + x.shape, x.dtype)
+    return out, (idx, token)
+
+
+def _rsn_bwd(num_rotations, sign, padding_mode, mode, interpret, res, g):
+    idx, token = res
+    from equiadapt_tpu.ops.warp import rotate_select_fast
+
+    def f(xx):
+        nhwc = jnp.moveaxis(xx, 1, -1)
+        out = rotate_select_fast(nhwc, idx, num_rotations, sign, padding_mode)
+        return jnp.moveaxis(out, -1, 1)
+
+    spec = jax.ShapeDtypeStruct(token.shape[1:], token.dtype)
+    (dx,) = jax.linear_transpose(f, spec)(g)
+    d_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return dx, d_idx
+
+
+rotate_select_nchw.defvjp(_rsn_fwd, _rsn_bwd)
+
+
 def pallas_rotate_select(
     x: Array,
     idx: Array,

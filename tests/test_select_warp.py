@@ -181,3 +181,32 @@ def test_pallas_rotate_select_nchw_exact_mode():
         mode="exact",
     )
     assert bool((jnp.moveaxis(out, 1, -1) == ref).all())
+
+
+def test_rotate_select_nchw_grad_through_eval(monkeypatch):
+    """Eval-mode canonicalize on the NCHW spine stays differentiable in x
+    (round-2 contract): the custom VJP is the linear transpose of the
+    matching NHWC fast select."""
+    import numpy as np
+
+    from equiadapt_tpu.ops.pallas.select_warp import rotate_select_nchw
+    from equiadapt_tpu.ops.warp import rotate_select_fast
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(4, 3, 16, 16)).astype(np.float32))
+    idx = jnp.asarray([0, 1, 5, 7], jnp.int32)
+    g = jnp.asarray(rng.normal(size=(4, 3, 16, 16)).astype(np.float32))
+
+    def via_kernel(xx):
+        return jnp.sum(
+            rotate_select_nchw(xx, idx, 8, -1.0, "border", "fast", True) * g
+        )
+
+    def via_blend(xx):
+        nhwc = jnp.moveaxis(xx, 1, -1)
+        out = rotate_select_fast(nhwc, idx, 8, -1.0, "border")
+        return jnp.sum(jnp.moveaxis(out, -1, 1) * g)
+
+    gk = jax.grad(via_kernel)(x)
+    gb = jax.grad(via_blend)(x)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gb), rtol=1e-5)
