@@ -29,7 +29,12 @@ import numpy as np
 
 Array = jnp.ndarray
 
-__all__ = ["pallas_rotate_select", "rotate_select"]
+__all__ = [
+    "pallas_rotate_select",
+    "pallas_rotate_select_nchw",
+    "rotate_select",
+    "rotate_select_nchw",
+]
 
 
 def _emit_rot90(plane, k, out_store, H: int, W: int, dt):
