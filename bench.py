@@ -564,7 +564,40 @@ def bench_torch_cpu() -> float:
     return B / best
 
 
+def _backend_watchdog(timeout_s: float = 900.0):
+    """Fail fast (rather than hang forever) if the TPU runtime is
+    unreachable: the axon relay occasionally dies, and a JAX client then
+    blocks indefinitely inside backend init. The watchdog fires only if
+    backend discovery itself never completes."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def arm():
+        if not done.wait(timeout_s):
+            print(
+                "bench.py: TPU backend init did not complete within "
+                f"{timeout_s:.0f}s (relay down?) — aborting",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(42)
+
+    threading.Thread(target=arm, daemon=True).start()
+
+    def disarm():
+        done.set()
+
+    return disarm
+
+
 def main() -> None:
+    disarm = _backend_watchdog()
+    import jax
+
+    jax.devices()  # backend init — the hang point when the relay is dead
+    disarm()
     m = bench_jax()
     try:
         torch_ips = bench_torch_cpu()
