@@ -60,4 +60,4 @@ from equiadapt_tpu.pointcloud import (
     mean_pool,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
