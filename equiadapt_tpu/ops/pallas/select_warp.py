@@ -37,21 +37,46 @@ __all__ = [
 ]
 
 
-def _emit_rot90(plane, k, out_store, H: int, W: int, dt):
+def _rot90_strategy() -> str:
+    """Kernel rot90 lowering strategy, from EQUIADAPT_ROT90_STRATEGY.
+
+    "fp32" (default): exchange-matrix reversals on fp32 operands — the
+    round-2 proven path (transposed bf16 matmul operands were rejected by
+    Mosaic; fp32 transposes compile).
+    "mixed": for bf16 payloads, keep operands bf16 — single-MXU-pass
+    exchange matmuls for k=2 and an explicit in-VMEM transpose feeding a
+    bf16 matmul for k=1/3. Bit-identical output (every product is
+    1 * value); kept behind the knob until measured on hardware, since it
+    relies on Mosaic lowering a standalone bf16 2-D transpose.
+
+    Read OUTSIDE the jitted kernels and threaded as a static argument, so
+    flipping the env var cannot hit a stale jit cache.
+    """
+    import os
+
+    return os.environ.get("EQUIADAPT_ROT90_STRATEGY", "fp32")
+
+
+def _emit_rot90(plane, k, out_store, H: int, W: int, dt, strategy: str = "fp32"):
     """Write rot90^k(plane) through `out_store` (a (H, W)-shaped ref setter).
 
     Mosaic has no `rev` and its matmuls need 32-bit accumulators (transposed
     bf16 operands are rejected outright), so the rot90 runs in fp32 in-VMEM
     via exchange-matrix MXU reversals: bf16 values are held exactly in fp32
     and the exchange matrix has a single 1 per row/col, so every step — and
-    the cast back — is lossless.
+    the cast back — is lossless. strategy="mixed" (see `_rot90_strategy`)
+    keeps bf16 payloads in bf16: the reversal matmuls run in one MXU pass
+    instead of the fp32 multi-pass mode, and the k=1/3 transposes happen as
+    explicit relayout ops instead of transposed fp32 operands.
     """
     from jax.experimental import pallas as pl
 
-    img = plane.astype(jnp.float32)  # (H, W)
+    use_bf16 = strategy == "mixed" and dt == jnp.bfloat16
+    cdt = jnp.bfloat16 if use_bf16 else jnp.float32
+    img = plane.astype(cdt)  # (H, W)
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
-    ex = (rows + cols == H - 1).astype(jnp.float32)
+    ex = (rows + cols == H - 1).astype(cdt)
     # Precision by payload dtype: bf16-valued data survives single-pass
     # bf16 MXU exactly (operand truncation is the identity on bf16 values,
     # and each output is a single product), so DEFAULT is both exact and
@@ -77,13 +102,19 @@ def _emit_rot90(plane, k, out_store, H: int, W: int, dt):
             precision=prec,
         )
 
+    def t(y):
+        # "mixed": explicit relayout transpose (bf16 operands stay bf16 —
+        # only matmuls with *transposed operands* were rejected by Mosaic);
+        # "fp32": the transpose stays fused into the fp32 dot operand.
+        return y.T
+
     @pl.when(k == 0)
     def _():
         out_store(img.astype(dt))
 
     @pl.when(k == 1)
     def _():
-        out_store(rs(img.T).astype(dt))
+        out_store(rs(t(img)).astype(dt))
 
     @pl.when(k == 2)
     def _():
@@ -91,11 +122,14 @@ def _emit_rot90(plane, k, out_store, H: int, W: int, dt):
 
     @pl.when(k == 3)
     def _():
-        out_store(rl(img.T).astype(dt))
+        out_store(rl(t(img)).astype(dt))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _pallas_select(sources: Array, src_idx: Array, k_idx: Array, interpret: bool = False) -> Array:
+@functools.partial(jax.jit, static_argnames=("interpret", "strategy"))
+def _pallas_select(
+    sources: Array, src_idx: Array, k_idx: Array, interpret: bool = False,
+    strategy: str = "fp32",
+) -> Array:
     """sources: (S, B, C, H, W); per sample pick plane (src_idx[b], b, c) and
     rot90 it by k_idx[b]."""
     from jax.experimental import pallas as pl
@@ -120,7 +154,8 @@ def _pallas_select(sources: Array, src_idx: Array, k_idx: Array, interpret: bool
         def store(v):
             out_ref[0, 0] = v
 
-        _emit_rot90(in_ref[0, 0, 0], k_ref[b] % 4, store, H, W, in_ref.dtype)
+        _emit_rot90(in_ref[0, 0, 0], k_ref[b] % 4, store, H, W, in_ref.dtype,
+                    strategy)
 
     return pl.pallas_call(
         kernel,
@@ -160,9 +195,10 @@ def _pallas_select2(
     return _pallas_selectn((xn, yn), src_idx, k_idx, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "strategy"))
 def _pallas_selectn(
-    sources, src_idx: Array, k_idx: Array, interpret: bool = False
+    sources, src_idx: Array, k_idx: Array, interpret: bool = False,
+    strategy: str = "fp32",
 ) -> Array:
     """Multi-source select: per sample pick plane (b, c) from
     `sources[src_idx[b]]` (each (B, C, H, W)) and rot90 it by k_idx[b].
@@ -213,7 +249,7 @@ def _pallas_selectn(
             def store(v, c=c):
                 out_ref[0, c] = v
 
-            _emit_rot90(plane, k, store, H, W, sources[0].dtype)
+            _emit_rot90(plane, k, store, H, W, sources[0].dtype, strategy)
 
     return pl.pallas_call(
         kernel,
@@ -242,7 +278,8 @@ def _pallas_select2_rolled(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_group", "num_rotations", "interpret")
+    jax.jit,
+    static_argnames=("num_group", "num_rotations", "interpret", "strategy"),
 )
 def _pallas_selectn_rolled(
     sources,
@@ -253,6 +290,7 @@ def _pallas_selectn_rolled(
     num_rotations: int,
     refl: Optional[Array] = None,
     interpret: bool = False,
+    strategy: str = "fp32",
 ) -> Array:
     """`_pallas_select2` with the regular-rep fiber roll fused in.
 
@@ -342,7 +380,8 @@ def _pallas_selectn_rolled(
             def store(v):
                 out_ref[0, 0] = v
 
-        _emit_rot90(plane, k_ref[b] % 4, store, H, W, sources[0].dtype)
+        _emit_rot90(plane, k_ref[b] % 4, store, H, W, sources[0].dtype,
+                    strategy)
 
     scalars = [
         src_idx.astype(jnp.int32),
@@ -397,7 +436,7 @@ def rotate_roll_select(
     num_group = num_rotations if refl is None else 2 * num_rotations
     out = _pallas_selectn_rolled(
         tuple(sources), src_idx, k_idx, shift, num_group, num_rotations,
-        refl=refl, interpret=interpret,
+        refl=refl, interpret=interpret, strategy=_rot90_strategy(),
     )
     return jnp.moveaxis(out, 1, -1)
 
@@ -434,12 +473,18 @@ def pallas_rotate_select_nchw(
     src_idx = jnp.asarray(src_of, jnp.int32)[idx]
     k_idx = jnp.asarray(k_of, jnp.int32)[idx]
     if len(residues) == 1:
-        return _pallas_select(xn[None], src_idx, k_idx, interpret=interpret)
+        return _pallas_select(
+            xn[None], src_idx, k_idx, interpret=interpret,
+            strategy=_rot90_strategy(),
+        )
     residual = (
         rotate_twopass_from_nchw if mode == "fast" else _static_rotate_from_nchw
     )
     sources = [xn] + [residual(xn, r, padding_mode) for r in residues[1:]]
-    return _pallas_selectn(tuple(sources), src_idx, k_idx, interpret=interpret)
+    return _pallas_selectn(
+        tuple(sources), src_idx, k_idx, interpret=interpret,
+        strategy=_rot90_strategy(),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -531,7 +576,8 @@ def pallas_rotate_select(
                 rotate_twopass_nchw(x, r, padding_mode) for r in residues[1:]
             ]
             out = _pallas_selectn(
-                tuple(sources), src_idx, k_idx, interpret=interpret
+                tuple(sources), src_idx, k_idx, interpret=interpret,
+                strategy=_rot90_strategy(),
             )
             return jnp.moveaxis(out, 1, -1)
         # exact mode: static-tap warped residual sources through the same
@@ -542,11 +588,15 @@ def pallas_rotate_select(
             for r in residues[1:]
         ]
         out = _pallas_selectn(
-            tuple(sources), src_idx, k_idx, interpret=interpret
+            tuple(sources), src_idx, k_idx, interpret=interpret,
+            strategy=_rot90_strategy(),
         )
         return jnp.moveaxis(out, 1, -1)
     sources = jnp.moveaxis(x, -1, 1)[None]  # (1, B, C, H, W)
-    out = _pallas_select(sources, src_idx, k_idx, interpret=interpret)
+    out = _pallas_select(
+        sources, src_idx, k_idx, interpret=interpret,
+        strategy=_rot90_strategy(),
+    )
     return jnp.moveaxis(out, 1, -1)
 
 

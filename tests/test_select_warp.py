@@ -210,3 +210,23 @@ def test_rotate_select_nchw_grad_through_eval(monkeypatch):
     gk = jax.grad(via_kernel)(x)
     gb = jax.grad(via_blend)(x)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gb), rtol=1e-5)
+
+
+def test_rot90_mixed_strategy_bitexact(monkeypatch):
+    """EQUIADAPT_ROT90_STRATEGY=mixed (bf16 operands + explicit transposes
+    in the kernel rot90) must be bit-identical to the default fp32
+    exchange-matmul strategy for bf16 payloads, and a no-op for fp32."""
+    import numpy as np
+
+    from equiadapt_tpu.ops.pallas.select_warp import pallas_rotate_select
+
+    rng = np.random.default_rng(3)
+    x32 = jnp.asarray(rng.normal(size=(6, 16, 16, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 8, size=(6,)).astype(np.int32))
+    for x in (x32, x32.astype(jnp.bfloat16)):
+        monkeypatch.setenv("EQUIADAPT_ROT90_STRATEGY", "fp32")
+        ref = pallas_rotate_select(x, idx, 8, -1.0, "border", interpret=True)
+        monkeypatch.setenv("EQUIADAPT_ROT90_STRATEGY", "mixed")
+        out = pallas_rotate_select(x, idx, 8, -1.0, "border", interpret=True)
+        assert out.dtype == x.dtype
+        assert bool((out == ref).all())
