@@ -90,7 +90,7 @@ def bench_jax() -> dict:
         canonicalization_network=net_pooled, in_shape=(IMAGE, IMAGE, 3),
         input_crop_ratio=CROP_RATIO, resize_shape=RESIZE,
         num_rotations=NUM_ROT, group_type="rotation",
-        warp_mode="fast", compute_dtype=jnp.bfloat16,
+        warp_mode="fast", compute_dtype=jnp.bfloat16, output_dtype="compute",
     )
     resnet_f32 = ResNet50(num_classes=10, small_images=False)
     resnet_bf16 = ResNet50(num_classes=10, small_images=False, dtype=jnp.bfloat16)
@@ -462,7 +462,7 @@ def bench_jax() -> dict:
         canonicalization_network=net_c4, in_shape=(IMAGE, IMAGE, 3),
         input_crop_ratio=CROP_RATIO, resize_shape=RESIZE,
         num_rotations=4, group_type="rotation",
-        warp_mode="fast", compute_dtype=jnp.bfloat16,
+        warp_mode="fast", compute_dtype=jnp.bfloat16, output_dtype="compute",
     )
     canon_c4_params = jax.jit(lambda k, s: canon_c4.init(k, s, training=False))(
         jax.random.key(6), small

@@ -100,6 +100,9 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
     warp_mode: str = "exact"
     # computation dtype for the energy network + warps; None = input dtype
     compute_dtype: Optional[Any] = None
+    # canonicalized-output dtype: None = cast back to the input dtype;
+    # "compute" = keep compute_dtype (see discrete_group.py — serving knob)
+    output_dtype: Optional[str] = None
 
     @property
     def is_grayscale(self) -> bool:
@@ -188,7 +191,8 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
                 x = warp_rotate_center_fast(x, R_inv, self.padding_mode)
         else:
             x = _warp_center_affine(x, R_inv, self.padding_mode)
-        x = x.astype(in_dtype)
+        if self.output_dtype != "compute":
+            x = x.astype(in_dtype)
         info = ContinuousCanonicalizationInfo(
             matrix_rep=matrix_rep, element=element, extras=extras
         )

@@ -79,6 +79,13 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
     # computation dtype for the energy network + warps (e.g. jnp.bfloat16);
     # None keeps the input dtype. Selection logits are always fp32.
     compute_dtype: Optional[Any] = None
+    # dtype of the canonicalized output: None casts back to the input dtype
+    # (the reference-faithful contract); "compute" keeps compute_dtype. A
+    # bf16 prediction network immediately re-casts a fp32 canonicalized
+    # batch to bf16, so the serving pipeline sets "compute" to guarantee
+    # the bf16->fp32->bf16 convert pair (a full-size HBM round trip if XLA
+    # does not fold it through the intervening layout op) never exists.
+    output_dtype: Optional[str] = None
 
     # subclasses set these in __post_init__
     group_type: str = "rotation"
@@ -194,7 +201,8 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
                 x_nchw, idx, n, -1.0, self.padding_mode,
                 self.warp_mode, interpret,
             )
-            x_canon = jnp.moveaxis(out, 1, -1).astype(in_dtype)
+            out_dt = x_nchw.dtype if self.output_dtype == "compute" else in_dtype
+            x_canon = jnp.moveaxis(out, 1, -1).astype(out_dt)
         info = DiscreteCanonicalizationInfo(
             group_activations=acts,
             onehot=onehot,
@@ -292,7 +300,8 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
 
                 idx = jnp.argmax(rot_onehot, axis=-1)
                 x = rotate_select(x, idx, n, -1.0, self.padding_mode, self.warp_mode)
-            x = x.astype(in_dtype)
+            if self.output_dtype != "compute":
+                x = x.astype(in_dtype)
 
         info = DiscreteCanonicalizationInfo(
             group_activations=acts,

@@ -73,6 +73,10 @@ class CanonicalizationConfig:
     warp_mode: str = "exact"
     # computation dtype name for energy net + warps ("bfloat16"); None = input
     compute_dtype: Optional[str] = None
+    # canonicalized-output dtype: None = cast back to the input dtype;
+    # "compute" = keep compute_dtype (serving: avoids a bf16->fp32->bf16
+    # convert pair feeding a bf16 prediction network)
+    output_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -130,7 +130,10 @@ def get_image_canonicalizer(
         input_crop_ratio=cfg.input_crop_ratio,
         resize_shape=cfg.resize_shape,
     )
-    discrete = dict(warp_mode=cfg.warp_mode, compute_dtype=compute_dtype)
+    discrete = dict(
+        warp_mode=cfg.warp_mode, compute_dtype=compute_dtype,
+        output_dtype=cfg.output_dtype,
+    )
     if t == "group_equivariant":
         return GroupEquivariantImageCanonicalization(
             beta=cfg.beta, gradient_trick=cfg.gradient_trick,

@@ -311,3 +311,37 @@ def test_nchw_spine_canonicalize_matches_nhwc_path(
         np.asarray(info_ref.element.rotation_deg),
     )
     assert bool((x_spine == x_ref).all())
+
+
+def test_output_dtype_compute_keeps_bf16():
+    """output_dtype="compute" hands the canonicalized batch to the
+    prediction network in compute_dtype (values identical to casting the
+    default fp32 output back down — bf16->fp32->bf16 is the identity)."""
+    from equiadapt_tpu.images import (
+        EquivariantNetwork, GroupEquivariantImageCanonicalization,
+    )
+
+    net = EquivariantNetwork(
+        in_channels=3, out_channels=4, kernel_size=3, group_type="rotation",
+        num_rotations=4, num_layers=2,
+    )
+
+    def make(output_dtype):
+        return GroupEquivariantImageCanonicalization(
+            canonicalization_network=net, in_shape=(16, 16, 3),
+            num_rotations=4, group_type="rotation", warp_mode="fast",
+            compute_dtype=jnp.bfloat16, output_dtype=output_dtype,
+        )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    params = make(None).init(jax.random.key(0), x, training=False)
+    x_ref, info_ref = make(None).apply(params, x, training=False)
+    x_out, info_out = make("compute").apply(params, x, training=False)
+    assert x_ref.dtype == jnp.float32
+    assert x_out.dtype == jnp.bfloat16
+    assert bool((x_out == x_ref.astype(jnp.bfloat16)).all())
+    assert np.array_equal(
+        np.asarray(info_out.element.rotation_deg),
+        np.asarray(info_ref.element.rotation_deg),
+    )
