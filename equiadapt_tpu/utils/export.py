@@ -1,0 +1,79 @@
+"""StableHLO export of serving functions (deployment artifact path).
+
+The reference has no deployment story beyond checkpoints; a TPU-native
+framework should hand its serving graph to the runtime fleet as a
+self-contained artifact. `jax.export` lowers a jitted function to
+versioned StableHLO that runs on any machine with a matching XLA runtime —
+no Python model code, params baked in as constants.
+
+Typical flow (examples/images/classification/serve.py wires this behind
+`--export`):
+
+    blob = export_apply(
+        lambda v, x: model.apply(v, x, training=False),
+        variables, sample_batch,
+    )
+    pathlib.Path("model.stablehlo").write_bytes(blob)
+    # ... on the serving fleet:
+    fn = load_exported(blob)
+    logits = fn(batch)
+
+Exports are lowered for BOTH "tpu" and "cpu" by default, so the same
+artifact smoke-tests on a CPU host before hitting the fleet. Batch size is
+fixed by `sample` (static shapes are the TPU-serving contract everywhere
+else in this package; symbolic batch via `jax.export.symbolic_shape` is
+possible but deliberately not the default).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import jax
+
+__all__ = ["export_apply", "load_exported"]
+
+
+def export_apply(
+    apply_fn: Callable[..., Any],
+    variables: Any,
+    sample: Any,
+    *,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> bytes:
+    """Serialize `apply_fn(variables, sample)` to a StableHLO artifact.
+
+    Args:
+        apply_fn: pure function of (variables, batch) — e.g.
+            ``lambda v, x: model.apply(v, x, training=False)`` or a wrapped
+            canonicalize+predict closure.
+        variables: parameter pytree, baked into the artifact as constants
+            (the artifact is self-contained; re-export after finetuning).
+        sample: example batch fixing input shapes/dtypes.
+        platforms: lowering targets; the default ships one artifact that
+            runs on the TPU fleet and smoke-tests on CPU.
+
+    Returns:
+        Serialized bytes (StableHLO + calling-convention metadata).
+    """
+
+    def fn(batch):
+        return apply_fn(variables, batch)
+
+    exported = jax.export.export(jax.jit(fn), platforms=tuple(platforms))(sample)
+    return bytes(exported.serialize())  # serialize() returns a bytearray
+
+
+def load_exported(data: bytes) -> Callable[..., Any]:
+    """Deserialize an `export_apply` artifact into a callable.
+
+    The callable runs under the current default backend (it must be one of
+    the artifact's lowering platforms) and accepts the same batch
+    shapes/dtypes the export was traced with.
+    """
+    exported = jax.export.deserialize(bytearray(data))
+
+    def fn(batch):
+        return exported.call(batch)
+
+    return fn

@@ -68,6 +68,14 @@ def compile_forward(pipeline, variables, batch_shape):
 
 
 def main(argv) -> None:
+    # --export=PATH: also write the AOT graph as a self-contained StableHLO
+    # artifact (params baked in) for the serving fleet — utils/export.py
+    export_path = None
+    argv = list(argv)
+    for a in list(argv):
+        if a.startswith("--export="):
+            export_path = a.split("=", 1)[1]
+            argv.remove(a)
     cfg = compose_config(
         argv, config_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs")
     )
@@ -121,6 +129,17 @@ def main(argv) -> None:
     fwd = compile_forward(pipeline, variables, shape)
     print(f"AOT compile: {time.perf_counter() - t0:.1f}s "
           f"(batch {B} @ {cfg.dataset.image_size}px)")
+
+    if export_path:
+        from equiadapt_tpu.utils.export import export_apply
+
+        blob = export_apply(
+            lambda v, x: pipeline.apply(v, x, training=False)[0],
+            variables, sample["image"],
+        )
+        with open(export_path, "wb") as f:
+            f.write(blob)
+        print(f"exported StableHLO artifact: {export_path} ({len(blob)} bytes)")
 
     n_batches, n_imgs = 0, 0
     t0 = time.perf_counter()

@@ -1,0 +1,72 @@
+"""StableHLO export round-trip (utils/export.py).
+
+The exported artifact must be self-contained (params baked in), reload via
+`load_exported`, and reproduce the live apply exactly on the same backend.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from equiadapt_tpu.images import (
+    EquivariantNetwork,
+    GroupEquivariantImageCanonicalization,
+)
+from equiadapt_tpu.models import ResNet18
+from equiadapt_tpu.utils.export import export_apply, load_exported
+
+
+def _wrapped_pipeline():
+    net = EquivariantNetwork(
+        in_channels=3, out_channels=4, kernel_size=3, group_type="rotation",
+        num_rotations=4, num_layers=2,
+    )
+    canon = GroupEquivariantImageCanonicalization(
+        canonicalization_network=net, in_shape=(16, 16, 3),
+        num_rotations=4, group_type="rotation",
+    )
+    model = ResNet18(num_classes=5, small_images=True)
+    return canon, model
+
+
+def test_export_roundtrip_matches_live_apply():
+    canon, model = _wrapped_pipeline()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    cv = canon.init(jax.random.key(0), x, training=False)
+    mv = model.init(jax.random.key(1), x, training=False)
+
+    def apply_fn(variables, batch):
+        x_c, info = canon.apply(variables["canon"], batch, training=False)
+        logits = model.apply(variables["model"], x_c, training=False)
+        return logits, info.element.rotation_deg
+
+    variables = {"canon": cv, "model": mv}
+    blob = export_apply(apply_fn, variables, x, platforms=("cpu",))
+    assert isinstance(blob, bytes) and len(blob) > 1000
+
+    fn = load_exported(blob)
+    logits, deg = fn(x)
+    ref_logits, ref_deg = apply_fn(variables, x)
+    # the artifact compiles as one XLA module vs the live per-call jit —
+    # fusion decisions differ at float LSB; selection must match exactly
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-5, atol=2e-6
+    )
+    assert np.array_equal(np.asarray(deg), np.asarray(ref_deg))
+
+
+def test_export_is_self_contained_bytes():
+    """The artifact must not reference live python objects: deserialize from
+    a round-tripped copy of the bytes (e.g. as written to/read from disk)."""
+    canon, model = _wrapped_pipeline()
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    cv = canon.init(jax.random.key(0), x, training=False)
+
+    blob = export_apply(
+        lambda v, b: canon.apply(v, b, training=False)[0],
+        cv, x, platforms=("cpu",),
+    )
+    copied = bytes(bytearray(blob))  # simulate disk round trip
+    out = load_exported(copied)(x)
+    assert out.shape == (2, 16, 16, 3)
