@@ -27,9 +27,10 @@ possible but deliberately not the default).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable, Sequence
 
 import jax
+import jax.numpy as jnp
 
 __all__ = ["export_apply", "load_exported"]
 
@@ -40,6 +41,7 @@ def export_apply(
     sample: Any,
     *,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    symbolic_batch: bool = False,
 ) -> bytes:
     """Serialize `apply_fn(variables, sample)` to a StableHLO artifact.
 
@@ -52,6 +54,12 @@ def export_apply(
         sample: example batch fixing input shapes/dtypes.
         platforms: lowering targets; the default ships one artifact that
             runs on the TPU fleet and smoke-tests on CPU.
+        symbolic_batch: trace the leading axis of every `sample` leaf as a
+            symbolic dimension ``b`` (shape polymorphism), so one artifact
+            serves any batch size. Every leaf must carry the batch on
+            axis 0. Paths that hand-tile on the batch (the pallas select
+            kernels used by ``warp_mode="fast"``) need concrete grids —
+            export those at fixed batch instead.
 
     Returns:
         Serialized bytes (StableHLO + calling-convention metadata).
@@ -60,7 +68,22 @@ def export_apply(
     def fn(batch):
         return apply_fn(variables, batch)
 
-    exported = jax.export.export(jax.jit(fn), platforms=tuple(platforms))(sample)
+    args = sample
+    if symbolic_batch:
+        (b,) = jax.export.symbolic_shape("b")
+
+        def poly(leaf):
+            leaf = jnp.asarray(leaf)
+            if leaf.ndim == 0:
+                raise ValueError(
+                    "symbolic_batch needs every sample leaf to carry the "
+                    f"batch on axis 0; got a scalar leaf {leaf!r}"
+                )
+            return jax.ShapeDtypeStruct((b, *leaf.shape[1:]), leaf.dtype)
+
+        args = jax.tree_util.tree_map(poly, sample)
+
+    exported = jax.export.export(jax.jit(fn), platforms=tuple(platforms))(args)
     return bytes(exported.serialize())  # serialize() returns a bytearray
 
 

@@ -56,6 +56,35 @@ def test_export_roundtrip_matches_live_apply():
     assert np.array_equal(np.asarray(deg), np.asarray(ref_deg))
 
 
+def test_export_symbolic_batch_serves_any_batch_size():
+    """symbolic_batch=True traces the leading axis polymorphically: one
+    artifact answers batch 2 and batch 5 (the exact/blend warp path is
+    shape-polymorphic; pallas fast-mode grids are not — documented)."""
+    canon, model = _wrapped_pipeline()
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    cv = canon.init(jax.random.key(0), x, training=False)
+    mv = model.init(jax.random.key(1), x, training=False)
+
+    def apply_fn(variables, batch):
+        x_c, _ = canon.apply(variables["canon"], batch, training=False)
+        return model.apply(variables["model"], x_c, training=False)
+
+    variables = {"canon": cv, "model": mv}
+    blob = export_apply(
+        apply_fn, variables, x, platforms=("cpu",), symbolic_batch=True
+    )
+    fn = load_exported(blob)
+    rng = np.random.default_rng(3)
+    for bs in (2, 5):
+        xb = jnp.asarray(rng.normal(size=(bs, 16, 16, 3)).astype(np.float32))
+        out = fn(xb)
+        assert out.shape == (bs, 5)
+        ref = apply_fn(variables, xb)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
+        )
+
+
 def test_export_is_self_contained_bytes():
     """The artifact must not reference live python objects: deserialize from
     a round-tripped copy of the bytes (e.g. as written to/read from disk)."""
