@@ -41,4 +41,8 @@ __all__ = [
     "get_pointcloud_prediction_network",
     "get_segmentation_prediction_network",
 ]
-from equiadapt_tpu.utils.export import export_apply, load_exported
+from equiadapt_tpu.utils.export import (
+    export_apply,
+    export_sharded_apply,
+    load_exported,
+)

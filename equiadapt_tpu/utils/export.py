@@ -32,7 +32,7 @@ from typing import Any, Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["export_apply", "load_exported"]
+__all__ = ["export_apply", "export_sharded_apply", "load_exported"]
 
 
 def export_apply(
@@ -85,6 +85,48 @@ def export_apply(
 
     exported = jax.export.export(jax.jit(fn), platforms=tuple(platforms))(args)
     return bytes(exported.serialize())  # serialize() returns a bytearray
+
+
+def export_sharded_apply(
+    apply_fn: Callable[..., Any],
+    variables: Any,
+    sample: Any,
+    mesh: "jax.sharding.Mesh",
+    *,
+    axis_name: str = "data",
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> bytes:
+    """Serialize a data-parallel serving function over `mesh` (SPMD artifact).
+
+    The exported module carries the sharding annotations: the batch is
+    split along its leading axis over `axis_name`, params are baked in as
+    replicated constants, and XLA partitions the module exactly as the live
+    `jit` would (collectives ride ICI). Loading requires a runtime with the
+    same device count (`jax.export` records `nr_devices`); call it with a
+    batch placed via `parallel.shard_batch`.
+
+    Reference analog: none — the reference's only deployment unit is a
+    single-process checkpoint (SURVEY §5); this ships the multi-chip
+    serving graph itself.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    batch_sh = NamedSharding(mesh, PartitionSpec(axis_name))
+    repl = NamedSharding(mesh, PartitionSpec())
+    variables = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, repl), variables
+    )
+
+    def fn(batch):
+        return apply_fn(variables, batch)
+
+    def spec(leaf):
+        leaf = jnp.asarray(leaf)
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=batch_sh)
+
+    args = jax.tree_util.tree_map(spec, sample)
+    exported = jax.export.export(jax.jit(fn), platforms=tuple(platforms))(args)
+    return bytes(exported.serialize())
 
 
 def load_exported(data: bytes) -> Callable[..., Any]:

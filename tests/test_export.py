@@ -85,6 +85,35 @@ def test_export_symbolic_batch_serves_any_batch_size():
         )
 
 
+def test_export_sharded_dp_artifact_matches_single_device():
+    """The SPMD artifact (batch sharded over the 8-device mesh, params baked
+    in replicated) must reproduce the single-device apply."""
+    from equiadapt_tpu.parallel import make_mesh, shard_batch
+    from equiadapt_tpu.utils.export import export_sharded_apply
+
+    canon, model = _wrapped_pipeline()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 16, 16, 3)).astype(np.float32))
+    cv = canon.init(jax.random.key(0), x, training=False)
+    mv = model.init(jax.random.key(1), x, training=False)
+    variables = {"canon": cv, "model": mv}
+
+    def apply_fn(v, batch):
+        x_c, _ = canon.apply(v["canon"], batch, training=False)
+        return model.apply(v["model"], x_c, training=False)
+
+    mesh = make_mesh(8)
+    blob = export_sharded_apply(
+        apply_fn, variables, x, mesh, platforms=("cpu",)
+    )
+    fn = load_exported(blob)
+    out = fn(shard_batch(x, mesh))
+    ref = apply_fn(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
+    )
+
+
 def test_export_is_self_contained_bytes():
     """The artifact must not reference live python objects: deserialize from
     a round-tripped copy of the bytes (e.g. as written to/read from disk)."""
