@@ -313,6 +313,10 @@ def bench_jax() -> dict:
         canonicalization_network=VNSmall(n_knn=16, pooling="mean",
                                          knn_mode="approx")
     )
+    pc_canon_fused = EquivariantPointcloudCanonicalization(
+        canonicalization_network=VNSmall(n_knn=16, pooling="mean",
+                                         knn_mode="fused")
+    )
     pts = jnp.asarray(rng.normal(size=(64, 1024, 3)).astype(np.float32))
     pc_params = jax.jit(lambda k, s: pc_canon.init(k, s, training=False))(
         jax.random.key(4), pts[:2]
@@ -325,6 +329,19 @@ def bench_jax() -> dict:
     def pc_step_fast(cp, pps, slot):
         p_c, _ = pc_canon_fast.apply(cp, pick(pps, slot), training=False)
         return jnp.sum(p_c)
+
+    def pc_step_fused(cp, pps, slot):
+        p_c, _ = pc_canon_fused.apply(cp, pick(pps, slot), training=False)
+        return jnp.sum(p_c)
+
+    # fused pallas kNN vs the exact XLA path: index-level agreement on a
+    # random cloud, checked on hardware every round (fp32-level distance
+    # ties are the only admissible difference — ops/pallas/knn.py)
+    from equiadapt_tpu.pointcloud.networks import knn_indices
+
+    knn_ref = jax.jit(lambda p: knn_indices(p, 16, mode="exact"))(pts)
+    knn_fused = jax.jit(lambda p: knn_indices(p, 16, mode="fused"))(pts)
+    knn_fused_matches = bool((knn_ref == knn_fused).all())
 
     # n-body SE(3) canonicalization (BASELINE config 3): VNDeepSets
     from equiadapt_tpu.nbody.canonicalization import EuclideanGroupNBody
@@ -412,6 +429,8 @@ def bench_jax() -> dict:
     )
     out["pointcloud_canon_ms"] = timed_ms(pc_step, pc_params, pts2)
     out["pointcloud_canon_fast_ms"] = timed_ms(pc_step_fast, pc_params, pts2)
+    out["pointcloud_canon_fused_ms"] = timed_ms(pc_step_fused, pc_params, pts2)
+    out["knn_fused_matches_exact"] = knn_fused_matches
     out["nbody_canon_ms"] = timed_ms(nb_step, nb_params, nb)
     out["opt_d8_96px_ms"] = timed_ms(opt_step, opt_params, x96_2)
     out["continuous_fast_ms"] = timed_ms(steer_canon(steer_fast), steer_params, xp2)
@@ -654,6 +673,10 @@ def main() -> None:
                 "pointcloud_canonicalize_clouds_s_approx_knn": round(
                     64.0 / m["pointcloud_canon_fast_ms"] * 1e3, 1
                 ),
+                "pointcloud_canonicalize_clouds_s_fused_knn": round(
+                    64.0 / m["pointcloud_canon_fused_ms"] * 1e3, 1
+                ),
+                "knn_fused_matches_exact": m["knn_fused_matches_exact"],
                 "nbody_canonicalize_graphs_s": round(
                     512.0 / m["nbody_canon_ms"] * 1e3, 1
                 ),

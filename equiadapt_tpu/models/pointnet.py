@@ -22,17 +22,20 @@ Array = jnp.ndarray
 __all__ = ["PointNet", "DGCNN", "TransformNet", "DGCNNPartSeg", "get_graph_feature"]
 
 
-def get_graph_feature(x: Array, k: int, idx: Optional[Array] = None) -> Array:
+def get_graph_feature(
+    x: Array, k: int, idx: Optional[Array] = None, knn_mode: str = "exact"
+) -> Array:
     """DGCNN edge features: concat(neighbor - x, x) per kNN edge.
 
     Args:
         x: (B, N, C).
+        knn_mode: "exact" | "approx" | "fused" (pointcloud.networks.knn_indices).
 
     Returns:
         (B, N, k, 2C)  (reference networks.py:19-48).
     """
     if idx is None:
-        idx = knn_indices(x, k)
+        idx = knn_indices(x, k, mode=knn_mode)
     feat = jnp.take_along_axis(x[:, :, None], idx[..., None], axis=1)  # (B,N,k,C)
     center = jnp.broadcast_to(x[:, :, None], feat.shape)
     return jnp.concatenate([feat - center, center], axis=-1)
@@ -70,6 +73,10 @@ class DGCNN(nn.Module):
     k: int = 20
     emb_dims: int = 1024
     dropout: float = 0.5
+    # kNN graph build per stage: "fused" routes through the pallas kernel
+    # (ops/pallas/knn.py) — the per-stage (B, N, N) feature-space distance
+    # matrices never touch HBM
+    knn_mode: str = "exact"
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
@@ -77,7 +84,7 @@ class DGCNN(nn.Module):
         stages = []
         h = x
         for width in (64, 64, 128, 256):
-            e = get_graph_feature(h, self.k)  # (B, N, k, 2C)
+            e = get_graph_feature(h, self.k, knn_mode=self.knn_mode)
             e = nn.Dense(width, use_bias=False)(e)
             e = _bn_act(e, training, slope=0.2)
             h = jnp.max(e, axis=2)  # max over neighbors
@@ -132,19 +139,20 @@ class DGCNNPartSeg(nn.Module):
     k: int = 20
     emb_dims: int = 1024
     dropout: float = 0.5
+    knn_mode: str = "exact"  # see DGCNN.knn_mode
 
     @nn.compact
     def __call__(self, x: Array, category_onehot: Array, training: bool = False) -> Array:
         """x: (B, N, 3); category_onehot: (B, num_categories) -> (B, N, num_parts)."""
         B, N, _ = x.shape
-        e0 = get_graph_feature(x, self.k)
+        e0 = get_graph_feature(x, self.k, knn_mode=self.knn_mode)
         t = TransformNet()(e0, training=training)
         x = jnp.einsum("bnd,bde->bne", x, t)
 
         stages = []
         h = x
         for width in (64, 64, 64):
-            e = get_graph_feature(h, self.k)
+            e = get_graph_feature(h, self.k, knn_mode=self.knn_mode)
             e = nn.Dense(width, use_bias=False)(e)
             e = _bn_act(e, training, slope=0.2)
             if width != 64 or len(stages) in (0, 1):

@@ -12,6 +12,12 @@ from equiadapt_tpu.parallel.fsdp import (
     shard_state_fsdp,
 )
 
+from equiadapt_tpu.parallel.group_parallel import (
+    group_sharded_inference,
+    make_mesh_group,
+    orbit_spec,
+)
+
 from equiadapt_tpu.parallel.tp import (
     make_mesh_2d,
     sam_tp_spec,
@@ -29,6 +35,9 @@ __all__ = [
     "fsdp_sharding",
     "shard_params_fsdp",
     "shard_state_fsdp",
+    "group_sharded_inference",
+    "make_mesh_group",
+    "orbit_spec",
     "make_mesh_2d",
     "sam_tp_spec",
     "shard_params_tp",

@@ -31,16 +31,30 @@ def knn_indices(points: Array, k: int, mode: str = "exact") -> Array:
 
     Args:
         points: (B, N, 3).
-        mode: "exact" (jax.lax.top_k — reference semantics) or "approx"
+        mode: "exact" (jax.lax.top_k — reference semantics), "approx"
             (jax.lax.approx_max_k, the TPU-native partial-reduction top-k:
             ~2.9x faster at N=1024 with ~99% neighbor recall on Gaussian
             clouds — docs/benchmarking.md; fine for kNN graph building,
-            off by default).
+            off by default), or "fused" (pallas kernel, ops/pallas/knn.py:
+            the (B, N, N) distance matrix never touches HBM — exact
+            algebra, HIGHEST-precision distances; indices can differ from
+            "exact" only at fp32-level distance ties).
 
     Returns:
         (B, N, k) int32 neighbor indices (reference equivariant_networks.py:15-33:
         -||x_i - x_j||^2 top-k, self included).
     """
+    if mode == "fused":
+        from equiadapt_tpu.ops.pallas.knn import (
+            knn_fused_supported,
+            pallas_knn_indices,
+        )
+
+        if knn_fused_supported(points.shape, k):
+            return pallas_knn_indices(
+                points, k, interpret=jax.default_backend() != "tpu"
+            )
+        mode = "exact"  # unsupported shape: fall back
     inner = jnp.einsum("bnd,bmd->bnm", points, points)
     sq = jnp.sum(points**2, axis=-1)
     neg_dist = 2 * inner - sq[:, :, None] - sq[:, None, :]

@@ -37,7 +37,9 @@ class NetworkHyperparams:
     n_knn: int = 20
     pooling: str = "mean"
     # "approx" = TPU approx_max_k kNN graphs (~2.9x faster frames, ~99%
-    # neighbor recall); "exact" = reference top_k semantics
+    # neighbor recall); "fused" = pallas kernel, distance matrix never
+    # touches HBM (exact algebra; ties at fp32 eps may reorder);
+    # "exact" = reference top_k semantics
     knn_mode: str = "exact"
     # serving-mode energy: 2x2/s2 avg pool after the GCNN lift (exactly
     # rot90-equivariant on even sizes; 4x cheaper group convs)

@@ -251,3 +251,55 @@ def test_sharded_state_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=keystr(p))
         if hasattr(a, "sharding") and hasattr(b, "sharding"):
             assert b.sharding.is_equivalent_to(a.sharding, a.ndim), keystr(p)
+
+
+def test_group_sharded_inference_matches_unsharded():
+    """Orbit-axis (group-parallel) sharding: the per-element robustness
+    sweep on a (data, group) mesh returns the same metrics as the
+    unsharded group_inference."""
+    import optax
+
+    from equiadapt_tpu.models import ResNet18
+    from equiadapt_tpu.parallel import group_sharded_inference, make_mesh_group
+    from equiadapt_tpu.pipelines import (
+        ImageClassifierPipeline,
+        create_train_state,
+    )
+    from equiadapt_tpu.pipelines.classification import group_inference
+    from equiadapt_tpu.utils import (
+        CanonicalizationConfig,
+        NetworkHyperparams,
+        get_image_canonicalization_network,
+        get_image_canonicalizer,
+    )
+
+    cfg = CanonicalizationConfig(
+        canonicalization_type="group_equivariant",
+        network_type="e2cnn",
+        network_hyperparams=NetworkHyperparams(
+            kernel_size=3, out_channels=4, num_layers=1, num_rotations=4
+        ),
+    )
+    in_shape = (16, 16, 3)
+    net = get_image_canonicalization_network(cfg, in_shape)
+    canon = get_image_canonicalizer(cfg, net, in_shape)
+    pipeline = ImageClassifierPipeline(
+        canonicalizer=canon,
+        prediction_network=ResNet18(num_classes=4, small_images=True),
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 4, size=(4,)).astype(np.int32)),
+    }
+    state = create_train_state(
+        pipeline, jax.random.key(0), batch["image"], optax.sgd(0.1)
+    )
+    ref = group_inference(state, batch, num_rotations=4)
+    mesh = make_mesh_group(2, 4)
+    sharded = group_sharded_inference(state, batch, mesh, num_rotations=4)
+    assert set(ref) == set(sharded)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(sharded[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-6
+        )

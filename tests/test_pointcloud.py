@@ -192,3 +192,43 @@ def test_knn_iterative_exact_matches_top_k():
     np.testing.assert_array_equal(
         np.asarray(ref[..., 0]), np.arange(128)[None].repeat(4, 0)
     )
+
+
+def test_knn_fused_kernel_matches_exact():
+    """The fused pallas kNN (interpret mode on CPU) emits the same indices
+    as the exact XLA path on random clouds, including self-first order."""
+    from equiadapt_tpu.pointcloud.networks import VNSmall, knn_indices
+
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    ref = knn_indices(pts, 8, mode="exact")
+    fused = knn_indices(pts, 8, mode="fused")
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+    # self-neighbor first
+    np.testing.assert_array_equal(
+        np.asarray(fused[..., 0]), np.arange(256)[None, :].repeat(2, 0)
+    )
+
+    # feature-space distances (DGCNN-style wide D) go through the same kernel
+    feat = jnp.asarray(rng.normal(size=(2, 256, 32)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(knn_indices(feat, 4, mode="fused")),
+        np.asarray(knn_indices(feat, 4, mode="exact")),
+    )
+
+    # unsupported shape (N not tile-divisible) falls back to exact
+    odd = jnp.asarray(rng.normal(size=(2, 100, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(knn_indices(odd, 4, mode="fused")),
+        np.asarray(knn_indices(odd, 4, mode="exact")),
+    )
+
+    # end-to-end through VNSmall
+    net = VNSmall(n_knn=8, pooling="mean", knn_mode="fused")
+    params = net.init(jax.random.key(0), pts, training=False)
+    vecs = net.apply(params, pts, training=False)
+    net_e = VNSmall(n_knn=8, pooling="mean", knn_mode="exact")
+    vecs_e = net_e.apply(params, pts, training=False)
+    np.testing.assert_allclose(
+        np.asarray(vecs), np.asarray(vecs_e), rtol=1e-5, atol=1e-6
+    )
