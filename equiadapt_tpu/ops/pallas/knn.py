@@ -71,12 +71,18 @@ def _knn_kernel(q_ref, kt_ref, out_ref, *, k: int, n: int):
     d = 2.0 * inner - sq_q - sq_k  # negative squared distance
     cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     neg_inf = jnp.float32(-jnp.inf)
-    idxs = []
+    # first-occurrence argmax kept 2-D throughout (Mosaic prefers >=2-D
+    # intermediates): the row max selects candidate columns, min-index
+    # breaks ties toward the first occurrence like jnp.argmax
+    idx_cols = []
     for _ in range(k):
-        am = jnp.argmax(d, axis=1)  # (MQ,) first occurrence
-        idxs.append(am)
-        d = jnp.where(cols == am[:, None], neg_inf, d)
-    out_ref[0] = jnp.stack(idxs, axis=1).astype(jnp.int32)
+        m = jnp.max(d, axis=1, keepdims=True)  # (MQ, 1)
+        am = jnp.min(
+            jnp.where(d == m, cols, jnp.int32(n)), axis=1, keepdims=True
+        )  # (MQ, 1) first occurrence
+        idx_cols.append(am)
+        d = jnp.where(cols == am, neg_inf, d)
+    out_ref[0] = jnp.concatenate(idx_cols, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mq", "interpret"))
