@@ -18,6 +18,13 @@ from equiadapt_tpu.parallel.group_parallel import (
     orbit_spec,
 )
 
+from equiadapt_tpu.parallel.pp import (
+    make_mesh_stage,
+    pipeline_apply,
+    stack_layer_params,
+    vit_pipeline_apply,
+)
+
 from equiadapt_tpu.parallel.tp import (
     make_mesh_2d,
     sam_tp_spec,
@@ -38,6 +45,10 @@ __all__ = [
     "group_sharded_inference",
     "make_mesh_group",
     "orbit_spec",
+    "make_mesh_stage",
+    "pipeline_apply",
+    "stack_layer_params",
+    "vit_pipeline_apply",
     "make_mesh_2d",
     "sam_tp_spec",
     "shard_params_tp",
