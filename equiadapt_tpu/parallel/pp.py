@@ -30,13 +30,12 @@ replicated. Asserted equal to the plain `ViT.apply` forward in tests.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 Array = jnp.ndarray
 
