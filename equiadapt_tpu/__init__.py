@@ -45,9 +45,11 @@ from equiadapt_tpu.images import (
 )
 from equiadapt_tpu.images.networks.steerable import SteerableNetwork
 from equiadapt_tpu.nbody import EuclideanGroupNBody, VNDeepSets
+from equiadapt_tpu.ops import get_action_on_image_features
 from equiadapt_tpu.pointcloud import (
     ContinuousGroupPointcloudCanonicalization,
     EquivariantPointcloudCanonicalization,
+    graph_feature_cross,
     VNBatchNorm,
     VNBilinear,
     VNLeakyReLU,
@@ -59,5 +61,9 @@ from equiadapt_tpu.pointcloud import (
     VNStdFeature,
     mean_pool,
 )
+
+# reference name for the pointcloud edge-feature builder
+# (equiadapt/__init__.py exports `get_graph_feature_cross`)
+get_graph_feature_cross = graph_feature_cross
 
 __version__ = "0.3.0"
