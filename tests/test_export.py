@@ -128,3 +128,31 @@ def test_export_is_self_contained_bytes():
     copied = bytes(bytearray(blob))  # simulate disk round trip
     out = load_exported(copied)(x)
     assert out.shape == (2, 16, 16, 3)
+
+
+def test_export_pointcloud_canonicalizer_roundtrip():
+    """The StableHLO artifact path is domain-generic: export the SO(3)
+    pointcloud canonicalizer (VNSmall frame + rotation) and serve it."""
+    from equiadapt_tpu.pointcloud import (
+        EquivariantPointcloudCanonicalization,
+        VNSmall,
+    )
+
+    canon = EquivariantPointcloudCanonicalization(
+        canonicalization_network=VNSmall(n_knn=6, pooling="mean")
+    )
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    variables = canon.init(jax.random.key(0), pts, training=False)
+
+    def apply_fn(variables, batch):
+        p_c, _info = canon.apply(variables, batch, training=False)
+        return p_c
+
+    blob = export_apply(apply_fn, variables, pts, platforms=("cpu",))
+    fn = load_exported(blob)
+    np.testing.assert_allclose(
+        np.asarray(fn(pts)),
+        np.asarray(apply_fn(variables, pts)),
+        rtol=2e-5, atol=2e-6,
+    )
