@@ -24,7 +24,7 @@ from typing import Iterator, Optional
 
 import jax
 
-__all__ = ["profile_trace", "annotate"]
+__all__ = ["profile_trace", "annotate", "device_op_attribution"]
 
 
 @contextlib.contextmanager
@@ -70,3 +70,50 @@ def device_memory_stats(device: Optional[jax.Device] = None) -> dict:
         return dict(stats()) if callable(stats) else {}
     except Exception:
         return {}
+
+
+def device_op_attribution(trace_dir: str, top: int = 40) -> list:
+    """Synchronous per-op device times from a `profile_trace` capture.
+
+    Parses the newest xplane.pb under `trace_dir` with
+    `jax.profiler.ProfileData` and aggregates the "XLA Ops" line of the
+    device plane (TPU when present, otherwise the host-CPU plane), sorted
+    descending. "Async XLA Ops" (overlapping DMAs) are excluded — summing
+    them double-counts overlapped time.
+
+    This is the tool behind the wrapper-overhead attribution tables in
+    docs/benchmarking.md:
+
+        with profile_trace("/tmp/t"):
+            float(jax.jit(step)(...))            # force completion
+        for name, ms in device_op_attribution("/tmp/t")[:10]:
+            print(f"{ms:8.3f} ms  {name}")
+
+    Returns:
+        [(op_name, total_ms)] rows, most expensive first.
+    """
+    import pathlib
+
+    pbs = sorted(pathlib.Path(trace_dir).rglob("*.xplane.pb"))
+    if not pbs:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    pd = jax.profiler.ProfileData.from_serialized_xspace(pbs[-1].read_bytes())
+    planes = list(pd.planes)
+    device_planes = [p for p in planes if "TPU" in p.name] or [
+        p for p in planes if "CPU" in p.name or "Host Threads" in p.name
+    ]
+    agg: dict = {}
+    for plane in device_planes:
+        is_tpu = "TPU" in plane.name
+        for line in plane.lines:
+            # TPU planes: only the synchronous "XLA Ops" line. CPU planes
+            # have no such line — take every host-thread line (smoke-level
+            # attribution only; real numbers come from the TPU plane).
+            if is_tpu and line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                agg[ev.name] = agg.get(ev.name, 0) + ev.duration_ns
+        if agg:
+            break
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+    return [(name, ns / 1e6) for name, ns in rows]

@@ -286,3 +286,22 @@ def test_restore_checkpoint_nonstrict_tolerates_mismatch(tmp_path):
         for a, b in zip(head_t, head_r)
     )
     assert kept_any
+
+
+def test_device_op_attribution_from_trace(tmp_path):
+    """profile_trace + device_op_attribution roundtrip on the CPU backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from equiadapt_tpu.utils.profiling import (
+        device_op_attribution,
+        profile_trace,
+    )
+
+    x = jnp.ones((128, 128))
+    f = jax.jit(lambda a: (a @ a).sum())
+    float(f(x))  # compile outside the trace
+    with profile_trace(str(tmp_path)):
+        float(f(x))
+    rows = device_op_attribution(str(tmp_path))
+    assert rows and all(ms >= 0 for _, ms in rows)
