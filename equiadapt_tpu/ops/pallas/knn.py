@@ -36,17 +36,25 @@ Array = jnp.ndarray
 __all__ = ["pallas_knn_indices", "knn_fused_supported"]
 
 
-def knn_fused_supported(shape, k: int, mq: int = 256) -> bool:
+def _pick_query_tile(n: int, cap: int = 512) -> int:
+    """Largest divisor of N that is <= cap (whole query tiles per program)."""
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return n
+
+
+def knn_fused_supported(shape, k: int, mq: int = 0) -> bool:
     """Preconditions for the fused kernel (otherwise callers fall back).
 
     The kernel holds a (MQ, N) fp32 tile plus the (D, N) key matrix in
-    VMEM; N must split into whole query tiles.
+    VMEM; N must split into whole query tiles of a reasonable size.
     """
     B, N, D = shape
     if k > N:
         return False
-    mq = min(mq, N)
-    if N % mq != 0:
+    mq = mq or _pick_query_tile(N)
+    if N % mq != 0 or mq < 8:
         return False
     # (MQ, N) fp32 distance tile + masks, keys, indices — stay well under
     # the ~16 MB VMEM budget
@@ -87,7 +95,7 @@ def _knn_kernel(q_ref, kt_ref, out_ref, *, k: int, n: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "mq", "interpret"))
 def pallas_knn_indices(
-    points: Array, k: int, mq: int = 256, interpret: bool = False
+    points: Array, k: int, mq: int = 0, interpret: bool = False
 ) -> Array:
     """Fused exact kNN indices by negative squared distance.
 
@@ -103,7 +111,7 @@ def pallas_knn_indices(
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = points.shape
-    mq = min(mq, N)
+    mq = min(mq, N) if mq else _pick_query_tile(N)
     assert N % mq == 0, "pallas kNN needs N divisible by the query tile"
     points_t = jnp.swapaxes(points, 1, 2)  # (B, D, N)
     grid = (B, N // mq)

@@ -216,11 +216,18 @@ def test_knn_fused_kernel_matches_exact():
         np.asarray(knn_indices(feat, 4, mode="exact")),
     )
 
-    # unsupported shape (N not tile-divisible) falls back to exact
+    # non-power-of-two N picks a whole-divisor query tile (mq=100 here)
     odd = jnp.asarray(rng.normal(size=(2, 100, 3)).astype(np.float32))
     np.testing.assert_array_equal(
         np.asarray(knn_indices(odd, 4, mode="fused")),
         np.asarray(knn_indices(odd, 4, mode="exact")),
+    )
+
+    # unsupported shape (tiny N < minimum tile) falls back to exact
+    tiny = jnp.asarray(rng.normal(size=(2, 6, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(knn_indices(tiny, 4, mode="fused")),
+        np.asarray(knn_indices(tiny, 4, mode="exact")),
     )
 
     # end-to-end through VNSmall
