@@ -27,12 +27,15 @@ from equiadapt_tpu.pipelines import (
     make_nbody_train_step,
 )
 from equiadapt_tpu.utils import (
-    Config,
     compose_config,
     get_nbody_canonicalizer,
     get_nbody_prediction_network,
 )
-from equiadapt_tpu.utils.checkpoint import best_metric_saver
+from equiadapt_tpu.utils.checkpoint import (
+    best_metric_saver,
+    restore_checkpoint,
+    restore_config,
+)
 from equiadapt_tpu.utils.metrics import MetricLogger
 
 
@@ -46,6 +49,17 @@ def main(argv) -> None:
         "canonicalization.network_hyperparams.canon_feature=pv",
         ],
     )
+    if cfg.checkpoint.checkpoint_name and cfg.checkpoint.checkpoint_path:
+        cfg = cfg.override(
+            "checkpoint.checkpoint_path="
+            f"{cfg.checkpoint.checkpoint_path}/{cfg.checkpoint.checkpoint_name}"
+        )
+    if cfg.experiment.run_mode == "test" and cfg.checkpoint.checkpoint_path:
+        # reconstruct the exact canonicalizer from the checkpoint snapshot
+        # (the reference's nbody test path crashes instead — see docstring)
+        cfg = restore_config(cfg.checkpoint.checkpoint_path).override(
+            "experiment.run_mode=test"
+        )
     rng = jax.random.key(cfg.experiment.seed)
     nb = cfg.dataset.num_nodes_graph  # particles per graph (no hard-coded 5)
     train = generate_nbody_dataset(jax.random.fold_in(rng, 0), 512, n_balls=nb)
@@ -68,6 +82,15 @@ def main(argv) -> None:
             variables, batch["loc"], batch["vel"], batch["charges"], training=False
         )
         return jnp.mean((pred_loc - batch["loc_end"]) ** 2)
+
+    if cfg.experiment.run_mode == "test":
+        state = restore_checkpoint(
+            cfg.checkpoint.checkpoint_path, state,
+            strict=cfg.checkpoint.strict_loading,
+        )
+        test = generate_nbody_dataset(jax.random.fold_in(rng, 2), 128, n_balls=nb)
+        print({"test/mse": float(eval_mse(state, test))})
+        return
 
     logger = MetricLogger(None)
     saver = (

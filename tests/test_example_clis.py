@@ -175,3 +175,61 @@ def test_pointcloud_partseg_cli(capsys):
     mod = _load("examples/pointcloud/part_segmentation/train.py", "cli_ps")
     mod.main(["experiment.num_epochs=1"])
     assert "iou" in capsys.readouterr().out.lower()
+
+
+def test_nbody_cli_train_then_test(tmp_path, capsys):
+    """run_mode=test restores config + weights from the checkpoint (the
+    reference's nbody test path crashes on undefined image_data instead)."""
+    mod = _load("examples/nbody/train.py", "cli_nbody_tt")
+    ck = f"{tmp_path}/ck"
+    mod.main([
+        "experiment.num_epochs=1", "experiment.batch_size=8",
+        f"checkpoint.checkpoint_path={ck}",
+    ])
+    capsys.readouterr()
+    mod.main(["experiment.run_mode=test", f"checkpoint.checkpoint_path={ck}"])
+    assert "test/mse" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_pointcloud_cli_train_then_test(tmp_path, capsys):
+    """Checkpoint save + test-mode restore with the z/so3 rotation
+    robustness sweep (reference model.py:44-69 maybe_transform_points)."""
+    mod = _load("examples/pointcloud/classification/train.py", "cli_pc_tt")
+    ck = f"{tmp_path}/ck"
+    args = [
+        "experiment.num_epochs=1", "experiment.batch_size=8",
+        "dataset.num_points=64", "prediction.architecture=pointnet",
+    ]
+    mod.main(args + [f"checkpoint.checkpoint_path={ck}"])
+    capsys.readouterr()
+    mod.main(["experiment.run_mode=test", f"checkpoint.checkpoint_path={ck}"])
+    out = capsys.readouterr().out
+    assert "test/acc_z" in out and "test/acc_so3" in out
+
+
+@pytest.mark.slow
+def test_segmentation_cli_train_then_test(tmp_path, capsys):
+    mod = _load("examples/images/segmentation/train.py", "cli_seg_tt")
+    ck = f"{tmp_path}/ck"
+    args = [
+        "experiment.num_epochs=1",
+        "dataset.image_size=32",
+        "canonicalization.resize_shape=16",
+        "canonicalization.network_hyperparams.out_channels=4",
+        "canonicalization.network_hyperparams.num_layers=1",
+    ]
+    mod.main(args + [f"checkpoint.checkpoint_path={ck}"])
+    capsys.readouterr()
+    mod.main(["experiment.run_mode=test", f"checkpoint.checkpoint_path={ck}"])
+    assert "test/group_map" in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_partseg_cli_train_then_test(tmp_path, capsys):
+    mod = _load("examples/pointcloud/part_segmentation/train.py", "cli_ps_tt")
+    ck = f"{tmp_path}/ck"
+    mod.main(["experiment.num_epochs=1", f"checkpoint.checkpoint_path={ck}"])
+    capsys.readouterr()
+    mod.main(["experiment.run_mode=test", f"checkpoint.checkpoint_path={ck}"])
+    assert "test/miou" in capsys.readouterr().out
