@@ -55,7 +55,16 @@ def knn_indices(points: Array, k: int, mode: str = "exact") -> Array:
                 points, k, interpret=jax.default_backend() != "tpu"
             )
         mode = "exact"  # unsupported shape: fall back
-    inner = jnp.einsum("bnd,bmd->bnm", points, points)
+    # HIGHEST matmul precision: TPU's DEFAULT decomposes fp32 matmuls into
+    # bf16 passes, which perturbs distances by ~1e-2 on unit-scale clouds
+    # and flips ~20% of 16-NN picks at N=1024 vs true fp32 (the torch
+    # reference's numerics, equivariant_networks.py:15-33). The op is
+    # bandwidth-bound writing the (B, N, N) matrix, so the extra MXU
+    # passes are free — and the fused pallas kernel (which always computes
+    # fp32-exact distances) now agrees bit-for-bit.
+    inner = jnp.einsum(
+        "bnd,bmd->bnm", points, points, precision=jax.lax.Precision.HIGHEST
+    )
     sq = jnp.sum(points**2, axis=-1)
     neg_dist = 2 * inner - sq[:, :, None] - sq[:, None, :]
     if mode == "approx":
