@@ -4,8 +4,14 @@ TPU-native rebuild of reference equiadapt/pointcloud/canonicalization/
 continuous_group.py:13-134. Points are (B, N, 3) rows (the reference uses
 (B, 3, N) columns); canonicalization is one batched matmul
 x_canon = x @ R^T, i.e. each point expressed in the predicted orthonormal
-frame. Rotation-only, like the reference (its module docstring:
-proof-of-concept, no translation).
+frame. Rotation-only by default, like the reference (its module docstring:
+proof-of-concept, no translation); `enable_translation=True` upgrades the
+group to E(3) by removing the centroid before rotating — the translation
+estimate the reference's own VNDeepSets uses for n-body
+(nbody/canonicalization_networks/custom_equivariant_networks.py:129-137,
+mean-centering) applied to clouds. The centroid is exactly
+E(3)-equivariant (centroid(xR + t) = centroid(x)R + t), so the canonical
+form is translation-invariant with zero extra network cost.
 """
 
 from __future__ import annotations
@@ -34,6 +40,9 @@ class ContinuousGroupPointcloudCanonicalization(BaseCanonicalization):
     """Base continuous point-cloud canonicalizer (reference :13-81)."""
 
     canonicalization_network: nn.Module
+    # E(3) mode: remove the centroid before rotating (SE(3) element with
+    # t = mean over points). Off by default = reference behavior (SO(3)).
+    enable_translation: bool = False
 
     def get_groupelement(
         self, x: Array, training: bool
@@ -51,10 +60,13 @@ class ContinuousGroupPointcloudCanonicalization(BaseCanonicalization):
     ):
         """x: (B, N, 3) -> canonical (B, N, 3) + info.
 
-        x_canon = x @ R^T (rows of R are the frame vectors), the batched
-        equivalent of the reference's bmm chain (:74-79).
+        x_canon = (x - t) @ R^T (rows of R are the frame vectors; t = 0 in
+        rotation-only mode), the batched equivalent of the reference's bmm
+        chain (:74-79).
         """
         element, matrix_rep = self.get_groupelement(x, training)
+        if self.enable_translation:
+            x = x - element.translation[:, None, :]
         x_canon = jnp.einsum("bnd,bkd->bnk", x, element.rotation)
         info = ContinuousCanonicalizationInfo(matrix_rep=matrix_rep, element=element)
         if targets is not None:
@@ -67,21 +79,33 @@ class ContinuousGroupPointcloudCanonicalization(BaseCanonicalization):
         x_canonicalized_out: Array,
         **kwargs: Any,
     ) -> Array:
-        """Rotate canonical-frame outputs back: y @ R.
+        """Map canonical-frame outputs back: y @ R (+ t for point-valued
+        outputs in E(3) mode; set `points=False` for direction-valued
+        outputs like normals, which rotate but do not translate).
 
         The reference never overrides invert for point clouds (its pipelines
         don't use it); provided here for completeness — exact inverse of
         `canonicalize` for vector outputs like part-segmentation point
         offsets.
         """
-        return jnp.einsum("bnk,bkd->bnd", x_canonicalized_out, info.element.rotation)
+        out = jnp.einsum("bnk,bkd->bnd", x_canonicalized_out, info.element.rotation)
+        if self.enable_translation and kwargs.get("points", True):
+            out = out + info.element.translation[:, None, :]
+        return out
 
 
 class EquivariantPointcloudCanonicalization(ContinuousGroupPointcloudCanonicalization):
     """Frame from a VN network + Gram-Schmidt (reference :84-134)."""
 
     def get_groupelement(self, x: Array, training: bool):
+        translation = None
+        if self.enable_translation:
+            # centroid: the unique linear E(3)-equivariant translation
+            # estimate; the VN frame network then sees a centered cloud, so
+            # its rotation estimate is translation-independent too.
+            translation = jnp.mean(x, axis=1)  # (B, 3)
+            x = x - translation[:, None, :]
         vectors = self.canonicalization_network(x, training=training)  # (B, 3, 3)
         rotation = gram_schmidt(vectors)
-        element = ContinuousGroupElement(rotation=rotation)
+        element = ContinuousGroupElement(rotation=rotation, translation=translation)
         return element, rotation

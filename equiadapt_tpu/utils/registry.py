@@ -166,7 +166,10 @@ def get_pointcloud_canonicalizer(cfg: CanonicalizationConfig):
         return IdentityCanonicalization()
     if cfg.canonicalization_type == "continuous_group":
         net = VNSmall(n_knn=h.n_knn, pooling=h.pooling, knn_mode=h.knn_mode)
-        return EquivariantPointcloudCanonicalization(canonicalization_network=net)
+        return EquivariantPointcloudCanonicalization(
+            canonicalization_network=net,
+            enable_translation=cfg.enable_translation,
+        )
     raise ValueError(f"{cfg.canonicalization_type} is not implemented for pointclouds")
 
 

@@ -129,6 +129,45 @@ def test_vnsmall_equivariance_and_canonicalization_invariance():
     np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-4)
 
 
+def test_e3_translation_mode_invariance_and_roundtrip():
+    """enable_translation=True: the canonical cloud is invariant to the full
+    E(3) action x -> xQ + t, and invert round-trips points (+t) vs
+    directions (rotate-only)."""
+    net = VNSmall(n_knn=6, pooling="mean")
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
+    canon = EquivariantPointcloudCanonicalization(
+        canonicalization_network=net, enable_translation=True
+    )
+    cparams = canon.init(KEY, pts)
+    Q = _rot(seed=13)
+    t = jnp.asarray(rng.normal(size=(2, 1, 3)).astype(np.float32) * 5.0)
+    x_c, info = canon.apply(cparams, pts)
+    x_c_moved, info_moved = canon.apply(
+        cparams, jnp.einsum("bnd,bdw->bnw", pts, Q) + t
+    )
+    np.testing.assert_allclose(np.asarray(x_c_moved), np.asarray(x_c), atol=1e-3)
+    # canonical form is centered
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(x_c, axis=1)), np.zeros((2, 3)), atol=1e-5
+    )
+    # the element tracks the acting translation: t' = t_orig Q + t
+    np.testing.assert_allclose(
+        np.asarray(info_moved.element.translation),
+        np.asarray(jnp.einsum("bd,bdw->bw", info.element.translation, Q) + t[:, 0]),
+        atol=1e-3,
+    )
+    # point-valued invert round-trips; direction-valued invert rotates only
+    back = canon.invert_canonicalization(info, x_c)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-4)
+    dirs = canon.invert_canonicalization(info, x_c, points=False)
+    np.testing.assert_allclose(
+        np.asarray(dirs),
+        np.asarray(jnp.einsum("bnk,bkd->bnd", x_c, info.element.rotation)),
+        atol=1e-6,
+    )
+
+
 @pytest.mark.slow
 def test_vnsmall_maxpool_variant_runs():
     net = VNSmall(n_knn=4, pooling="max")
