@@ -15,13 +15,17 @@ point matrix) and immediately runs k iterative argmax+mask rounds on the
 VPU, emitting only the (MQ, k) int32 neighbor indices. The distance matrix
 never exists in HBM.
 
-Numerics: distances use the same algebra as the XLA path
-(2 * x@x^T - ||x_i||^2 - ||x_j||^2, fp32 accumulation) with HIGHEST matmul
-precision, so fp32-level ties near the decision boundary can in principle
-order differently from the DEFAULT-precision XLA einsum; on random clouds
-the emitted indices are bit-identical (asserted in tests and re-checked on
-hardware by bench.py). Tie-breaking is first-occurrence, matching both
-`jnp.argmax` rounds and `lax.top_k`.
+Numerics: for coordinate kNN (D <= 4) distances are computed with explicit
+IEEE fp32 elementwise mul/add in a fixed order — the SAME algebra as
+`pointcloud.networks.knn_indices`' tiny-D path — so fused and exact indices
+are bit-identical by construction (no MXU pass decomposition involved;
+HIGHEST XLA einsum and HIGHEST Mosaic dot round differently at the last ulp
+and flipped rare near-tie picks on hardware in round 3). Feature-space kNN
+(D > 4, DGCNN dynamic graphs) keeps the HIGHEST-precision MXU dot, where
+fp32-tie-level index differences vs the XLA path remain admissible.
+Tie-breaking is first-occurrence, matching both `jnp.argmax` rounds and
+`lax.top_k`. Hardware bit-equality at D=3 is re-checked every bench round,
+including tie-heavy quantized-grid clouds.
 """
 
 from __future__ import annotations
@@ -69,13 +73,29 @@ def _knn_kernel(q_ref, kt_ref, out_ref, *, k: int, n: int):
     """
     q = q_ref[0].astype(jnp.float32)  # (MQ, D)
     kt = kt_ref[0].astype(jnp.float32)  # (D, N)
-    inner = jax.lax.dot_general(
-        q, kt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (MQ, N)
-    sq_q = jnp.sum(q * q, axis=1, keepdims=True)  # (MQ, 1)
-    sq_k = jnp.sum(kt * kt, axis=0, keepdims=True)  # (1, N)
+    D = q.shape[1]
+    if D <= 4:
+        # elementwise IEEE fp32 inner product in a fixed order — the exact
+        # algebra of pointcloud/networks.knn_indices' tiny-D path, so fused
+        # and exact indices are bit-identical by construction (MXU pass
+        # decompositions, even at HIGHEST, round differently at the last
+        # ulp and flip rare near-tie picks)
+        inner = q[:, 0:1] * kt[0:1, :]
+        for i in range(1, D):
+            inner = inner + q[:, i:i + 1] * kt[i:i + 1, :]
+        sq_q = q[:, 0:1] * q[:, 0:1]
+        sq_k = kt[0:1, :] * kt[0:1, :]
+        for i in range(1, D):
+            sq_q = sq_q + q[:, i:i + 1] * q[:, i:i + 1]
+            sq_k = sq_k + kt[i:i + 1, :] * kt[i:i + 1, :]
+    else:
+        inner = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (MQ, N)
+        sq_q = jnp.sum(q * q, axis=1, keepdims=True)  # (MQ, 1)
+        sq_k = jnp.sum(kt * kt, axis=0, keepdims=True)  # (1, N)
     d = 2.0 * inner - sq_q - sq_k  # negative squared distance
     cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     neg_inf = jnp.float32(-jnp.inf)

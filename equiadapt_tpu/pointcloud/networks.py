@@ -36,9 +36,11 @@ def knn_indices(points: Array, k: int, mode: str = "exact") -> Array:
             ~2.9x faster at N=1024 with ~99% neighbor recall on Gaussian
             clouds — docs/benchmarking.md; fine for kNN graph building,
             off by default), or "fused" (pallas kernel, ops/pallas/knn.py:
-            the (B, N, N) distance matrix never touches HBM — exact
-            algebra, HIGHEST-precision distances; indices can differ from
-            "exact" only at fp32-level distance ties).
+            the (B, N, N) distance matrix never touches HBM; for
+            coordinate kNN (D <= 4) indices are bit-identical to "exact"
+            by construction — both paths use the same IEEE fp32
+            elementwise distance algebra; for feature-space kNN (D > 4)
+            differences are admissible only at fp32-level distance ties).
 
     Returns:
         (B, N, k) int32 neighbor indices (reference equivariant_networks.py:15-33:
@@ -55,17 +57,34 @@ def knn_indices(points: Array, k: int, mode: str = "exact") -> Array:
                 points, k, interpret=jax.default_backend() != "tpu"
             )
         mode = "exact"  # unsupported shape: fall back
-    # HIGHEST matmul precision: TPU's DEFAULT decomposes fp32 matmuls into
-    # bf16 passes, which perturbs distances by ~1e-2 on unit-scale clouds
-    # and flips ~20% of 16-NN picks at N=1024 vs true fp32 (the torch
-    # reference's numerics, equivariant_networks.py:15-33). The op is
-    # bandwidth-bound writing the (B, N, N) matrix, so the extra MXU
-    # passes are free — and the fused pallas kernel (which always computes
-    # fp32-exact distances) now agrees bit-for-bit.
-    inner = jnp.einsum(
-        "bnd,bmd->bnm", points, points, precision=jax.lax.Precision.HIGHEST
-    )
-    sq = jnp.sum(points**2, axis=-1)
+    D = points.shape[-1]
+    if D <= 4:
+        # True-fp32 elementwise inner product for tiny D: IEEE mul/add in a
+        # fixed order, the SAME algebra the fused pallas kernel uses on the
+        # VPU (ops/pallas/knn.py _knn_kernel), so the two paths are
+        # bit-identical by construction. Matmul formulations are not: TPU
+        # DEFAULT decomposes fp32 into bf16 passes (~1e-2 distance error,
+        # ~20% flipped 16-NN picks at N=1024), and even HIGHEST XLA einsum
+        # vs HIGHEST Mosaic dot round differently at the last ulp, flipping
+        # rare near-tie picks on hardware (bench round 3). XLA fuses the D
+        # broadcast terms into one (B, N, N) loop, so traffic matches the
+        # einsum it replaces.
+        pt = jnp.swapaxes(points, 1, 2)  # (B, D, N)
+        inner = points[:, :, 0, None] * pt[:, None, 0, :]
+        for d in range(1, D):
+            inner = inner + points[:, :, d, None] * pt[:, None, d, :]
+        sq = points[..., 0] * points[..., 0]
+        for d in range(1, D):
+            sq = sq + points[..., d] * points[..., d]
+    else:
+        # feature-space kNN (DGCNN dynamic graphs, D >= 64): the MXU matmul
+        # at HIGHEST precision — exact-enough distances (matches f64-ground-
+        # truth picks on random features); fp32-tie-level differences vs the
+        # fused kernel are admissible here (docstring above).
+        inner = jnp.einsum(
+            "bnd,bmd->bnm", points, points, precision=jax.lax.Precision.HIGHEST
+        )
+        sq = jnp.sum(points**2, axis=-1)
     neg_dist = 2 * inner - sq[:, :, None] - sq[:, None, :]
     if mode == "approx":
         _, idx = jax.lax.approx_max_k(neg_dist, k)
