@@ -351,24 +351,23 @@ def bench_jax() -> dict:
     knn_fused = np.asarray(jax.jit(lambda p: knn_indices(p, 16, mode="fused"))(pts))
     knn_mism = knn_ref != knn_fused
     knn_mismatch_count = int(knn_mism.sum())
-    if knn_mismatch_count == 0:
-        knn_fused_matches = True
-    else:
-        # both paths now share bit-identical fp32 elementwise distance
-        # algebra at D=3, so mismatches should be zero; as a backstop,
-        # classify any residual mismatch against f64 ground truth — only
-        # fp32-ulp-level distance TIES are admissible (same k-NN set, order
-        # swapped at the tie). Anything larger fails the check.
+    # bit-equality is the headline claim (both paths share the same fp32
+    # elementwise distance algebra at D=3), reported as-is; separately,
+    # classify any residual mismatch against f64 ground truth — only
+    # fp32-ulp-level distance TIES are admissible (same k-NN set, order
+    # swapped at the tie). Sampled at 1000 mismatches to bound the loop.
+    knn_fused_matches = knn_mismatch_count == 0
+    knn_ties_only = True
+    if knn_mismatch_count:
         p64 = np.asarray(pts, np.float64)
-        knn_fused_matches = knn_mismatch_count < 1000
-        if knn_fused_matches:
-            for b_, n_, s_ in zip(*np.nonzero(knn_mism)):
-                i1, i2 = int(knn_ref[b_, n_, s_]), int(knn_fused[b_, n_, s_])
-                d1 = float(((p64[b_, n_] - p64[b_, i1]) ** 2).sum())
-                d2 = float(((p64[b_, n_] - p64[b_, i2]) ** 2).sum())
-                if abs(d1 - d2) > 3e-7 * max(d1, d2, 1e-30):
-                    knn_fused_matches = False
-                    break
+        mism_idx = list(zip(*np.nonzero(knn_mism)))[:1000]
+        for b_, n_, s_ in mism_idx:
+            i1, i2 = int(knn_ref[b_, n_, s_]), int(knn_fused[b_, n_, s_])
+            d1 = float(((p64[b_, n_] - p64[b_, i1]) ** 2).sum())
+            d2 = float(((p64[b_, n_] - p64[b_, i2]) ** 2).sum())
+            if abs(d1 - d2) > 3e-7 * max(d1, d2, 1e-30):
+                knn_ties_only = False
+                break
 
     # n-body SE(3) canonicalization (BASELINE config 3): VNDeepSets
     from equiadapt_tpu.nbody.canonicalization import EuclideanGroupNBody
@@ -459,6 +458,7 @@ def bench_jax() -> dict:
     out["pointcloud_canon_fused_ms"] = timed_ms(pc_step_fused, pc_params, pts2)
     out["knn_fused_matches_exact"] = knn_fused_matches
     out["knn_fused_mismatch_count"] = knn_mismatch_count
+    out["knn_fused_ties_only"] = knn_ties_only
     out["nbody_canon_ms"] = timed_ms(nb_step, nb_params, nb)
     out["opt_d8_96px_ms"] = timed_ms(opt_step, opt_params, x96_2)
     out["continuous_fast_ms"] = timed_ms(steer_canon(steer_fast), steer_params, xp2)

@@ -6,12 +6,15 @@ continuous_group.py:13-134. Points are (B, N, 3) rows (the reference uses
 x_canon = x @ R^T, i.e. each point expressed in the predicted orthonormal
 frame. Rotation-only by default, like the reference (its module docstring:
 proof-of-concept, no translation); `enable_translation=True` upgrades the
-group to E(3) by removing the centroid before rotating — the translation
+group to SE(3) by removing the centroid before rotating — the translation
 estimate the reference's own VNDeepSets uses for n-body
 (nbody/canonicalization_networks/custom_equivariant_networks.py:129-137,
 mean-centering) applied to clouds. The centroid is exactly
-E(3)-equivariant (centroid(xR + t) = centroid(x)R + t), so the canonical
-form is translation-invariant with zero extra network cost.
+SE(3)-equivariant (centroid(xR + t) = centroid(x)R + t), so the canonical
+form is translation-invariant with zero extra network cost. Reflections
+are NOT handled (so this is SE(3), not E(3)): VNSmall's edge features
+include cross products (graph_feature_cross), which flip sign under
+improper rotations, so the estimated frame is only SO(3)-equivariant.
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ class ContinuousGroupPointcloudCanonicalization(BaseCanonicalization):
     """Base continuous point-cloud canonicalizer (reference :13-81)."""
 
     canonicalization_network: nn.Module
-    # E(3) mode: remove the centroid before rotating (SE(3) element with
+    # SE(3) mode: remove the centroid before rotating (SE(3) element with
     # t = mean over points). Off by default = reference behavior (SO(3)).
     enable_translation: bool = False
 
@@ -80,13 +83,14 @@ class ContinuousGroupPointcloudCanonicalization(BaseCanonicalization):
         **kwargs: Any,
     ) -> Array:
         """Map canonical-frame outputs back: y @ R (+ t for point-valued
-        outputs in E(3) mode; set `points=False` for direction-valued
-        outputs like normals, which rotate but do not translate).
+        outputs in SE(3) mode; set `points=False` for direction-valued
+        outputs like normals or part-segmentation point offsets, which
+        rotate but do not translate — in `enable_translation` mode the
+        default `points=True` path adds +t and is only correct for
+        absolute point coordinates).
 
         The reference never overrides invert for point clouds (its pipelines
-        don't use it); provided here for completeness — exact inverse of
-        `canonicalize` for vector outputs like part-segmentation point
-        offsets.
+        don't use it); provided here for completeness.
         """
         out = jnp.einsum("bnk,bkd->bnd", x_canonicalized_out, info.element.rotation)
         if self.enable_translation and kwargs.get("points", True):
@@ -100,7 +104,7 @@ class EquivariantPointcloudCanonicalization(ContinuousGroupPointcloudCanonicaliz
     def get_groupelement(self, x: Array, training: bool):
         translation = None
         if self.enable_translation:
-            # centroid: the unique linear E(3)-equivariant translation
+            # centroid: the unique linear SE(3)-equivariant translation
             # estimate; the VN frame network then sees a centered cloud, so
             # its rotation estimate is translation-independent too.
             translation = jnp.mean(x, axis=1)  # (B, 3)

@@ -59,6 +59,11 @@ def knn_indices(points: Array, k: int, mode: str = "exact") -> Array:
         mode = "exact"  # unsupported shape: fall back
     D = points.shape[-1]
     if D <= 4:
+        # Match the fused kernel's algebra for ALL input dtypes: the pallas
+        # kernel casts to fp32 on load (ops/pallas/knn.py), so the exact path
+        # must too — otherwise bf16 inputs would get bf16 elementwise
+        # distances and the bit-identity invariant would silently break.
+        points = points.astype(jnp.float32)
         # True-fp32 elementwise inner product for tiny D: IEEE mul/add in a
         # fixed order, the SAME algebra the fused pallas kernel uses on the
         # VPU (ops/pallas/knn.py _knn_kernel), so the two paths are

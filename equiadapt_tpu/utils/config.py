@@ -79,7 +79,7 @@ class CanonicalizationConfig:
     # "compute" = keep compute_dtype (serving: avoids a bf16->fp32->bf16
     # convert pair feeding a bf16 prediction network)
     output_dtype: Optional[str] = None
-    # pointcloud only: E(3) canonicalization (centroid removed before the
+    # pointcloud only: SE(3) canonicalization (centroid removed before the
     # rotation; invert adds it back). False = reference SO(3) behavior
     # (reference pointcloud/canonicalization/continuous_group.py:1-2 states
     # rotation-only as a proof-of-concept limitation).

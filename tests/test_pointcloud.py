@@ -129,10 +129,11 @@ def test_vnsmall_equivariance_and_canonicalization_invariance():
     np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-4)
 
 
-def test_e3_translation_mode_invariance_and_roundtrip():
-    """enable_translation=True: the canonical cloud is invariant to the full
-    E(3) action x -> xQ + t, and invert round-trips points (+t) vs
-    directions (rotate-only)."""
+def test_se3_translation_mode_invariance_and_roundtrip():
+    """enable_translation=True: the canonical cloud is invariant to the
+    SE(3) action x -> xQ + t (Q a proper rotation; reflections are out of
+    scope — VNSmall's cross-product features are SO(3)-only), and invert
+    round-trips points (+t) vs directions (rotate-only)."""
     net = VNSmall(n_knn=6, pooling="mean")
     rng = np.random.default_rng(11)
     pts = jnp.asarray(rng.normal(size=(2, 32, 3)).astype(np.float32))
