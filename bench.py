@@ -90,9 +90,17 @@ def bench_jax() -> dict:
         in_channels=3, out_channels=8, kernel_size=3, group_type="rotation",
         num_rotations=NUM_ROT, num_layers=2, fused_pool_lift=True,
     )
+    # Serving energy preset (round 4): no pre-crop + 56px field. 224->56 is
+    # an integer 4x downsample, so the resize is one clean strided
+    # contraction pair reading the NCHW spine tensor directly — the round-3
+    # crop(0.9)+resize(64) chain cost a slice + relayout copy + two odd-
+    # stride contractions (~0.4 ms of the energy's 0.73 ms, device-op
+    # profile). input_crop_ratio/resize_shape are reference hyperparameters
+    # (discrete_group.py:88-92) — this is a config choice, not a numerics
+    # change; the exact/parity configuration keeps the reference defaults.
     canon_serving = GroupEquivariantImageCanonicalization(
         canonicalization_network=net_pooled, in_shape=(IMAGE, IMAGE, 3),
-        input_crop_ratio=CROP_RATIO, resize_shape=RESIZE,
+        input_crop_ratio=1.0, resize_shape=56,
         num_rotations=NUM_ROT, group_type="rotation",
         warp_mode="fast", compute_dtype=jnp.bfloat16, output_dtype="compute",
     )
@@ -508,7 +516,7 @@ def bench_jax() -> dict:
     )
     canon_c4 = GroupEquivariantImageCanonicalization(
         canonicalization_network=net_c4, in_shape=(IMAGE, IMAGE, 3),
-        input_crop_ratio=CROP_RATIO, resize_shape=RESIZE,
+        input_crop_ratio=1.0, resize_shape=56,
         num_rotations=4, group_type="rotation",
         warp_mode="fast", compute_dtype=jnp.bfloat16, output_dtype="compute",
     )

@@ -178,6 +178,15 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
         in_dtype = x.dtype
         dt = self.compute_dtype or x.dtype
         x_nchw = jnp.moveaxis(x, -1, 1).astype(dt)
+        if os.environ.get("EQUIADAPT_SPINE_BARRIER", "auto") != "never":
+            # Materialize the cast+transpose ONCE: without the barrier XLA
+            # forks the input for its divergent consumers (energy resize,
+            # residual two-pass GEMM, select kernel), emitting a second
+            # full-batch fp32 read+convert plus an NHWC intermediate copy
+            # (~0.5 ms at 224px/batch 256 — round-4 device-op profile).
+            # Consumers that prefer another layout then pay at most one
+            # bf16->bf16 relayout, which is strictly cheaper.
+            x_nchw = jax.lax.optimization_barrier(x_nchw)
         with jax.named_scope("canon/get_group_activations"):
             energy_out = self.get_group_activations_nchw(x_nchw, training)
             if energy_out is None:

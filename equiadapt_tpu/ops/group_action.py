@@ -272,7 +272,7 @@ def get_action_on_image_features(
         from equiadapt_tpu.ops.pallas.select_warp import _c_n_decomposition
 
         fused_ok = (
-            mode == "fast"
+            mode in ("fast", "exact")
             and num_group in (num_rotations, 2 * num_rotations)
             and (reflection is None) == (num_group == num_rotations)
             and jax.default_backend() == "tpu"
@@ -285,6 +285,9 @@ def get_action_on_image_features(
             # channel permutation riding the kernel's plane indexing —
             # bit-identical to the separate roll_by_gather pass it
             # replaces). Eval path: hard selection, no gradient needed.
+            # Exact mode rides the same kernel with static-tap residual
+            # sources (round-4: previously exact eval paid the 2|G|-trip
+            # blend + a separate roll pass for proven-equal output).
             from equiadapt_tpu.ops.pallas.select_warp import rotate_roll_select
 
             shift_i = (rotation_deg / 360.0 * num_rotations).astype(jnp.int32)
@@ -295,9 +298,9 @@ def get_action_on_image_features(
             )
             return rotate_roll_select(
                 feature_map, idx, shift_i, num_rotations, 1.0, "zeros",
-                refl=refl_i,
+                refl=refl_i, mode=mode,
             )
-        if fused_ok and rotation_onehot is not None:
+        if fused_ok and rotation_onehot is not None and mode == "fast":
             # training path: same single-pass kernel forward (ST one-hot
             # forward values are hard) with custom-VJP angle-pathway
             # gradients — replaces the 2|G|-traffic blend + roll

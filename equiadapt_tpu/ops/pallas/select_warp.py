@@ -195,6 +195,27 @@ def _pallas_select2(
     return _pallas_selectn((xn, yn), src_idx, k_idx, interpret=interpret)
 
 
+def _latest_used_blocks(src_idx: Array, num_sources: int) -> list:
+    """Per-source "latest used sample" index arrays for DMA-skip steering.
+
+    blk_s[b] = max{b' <= b : src_idx[b'] == s} (0 if none yet). Feeding
+    this to a source's BlockSpec index_map makes every grid step where the
+    source is NOT selected revisit the block it last DMA'd — and Pallas
+    skips the DMA when consecutive steps map to the same block index — so
+    each sample reads exactly ONE source plane instead of all S. The only
+    residual traffic is one never-consumed block refetch per used->unused
+    transition in the sample sequence (bounded by B/2 planes, measured
+    negligible vs the S-1 full-batch reads it removes).
+    """
+    b_iota = jnp.arange(src_idx.shape[0], dtype=jnp.int32)
+    out = []
+    for s in range(num_sources):
+        seq = jnp.where(src_idx == s, b_iota, jnp.int32(-1))
+        blk = jax.lax.associative_scan(jnp.maximum, seq)
+        out.append(jnp.maximum(blk, 0).astype(jnp.int32))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "strategy"))
 def _pallas_selectn(
     sources, src_idx: Array, k_idx: Array, interpret: bool = False,
@@ -225,20 +246,37 @@ def _pallas_selectn(
         if C % cand == 0:
             bc = cand
             break
+    src_idx = src_idx.astype(jnp.int32)
+    # Latest-used-block steering (round 4): each source's index_map pins
+    # unselected grid steps to the block it last fetched, so Pallas's
+    # same-block revisit rule skips the DMA — per sample only the SELECTED
+    # source plane moves (1 read + 1 write of the batch, the 2-trip floor),
+    # instead of the S-fold read amplification of round 3.
+    blks = _latest_used_blocks(src_idx, len(sources))
+
+    def _spec(s):
+        def imap(b, c, src_ref, k_ref, *blk_refs):
+            used = src_ref[b] == s
+            return (
+                jnp.where(used, b, blk_refs[s][b]),
+                jnp.where(used, c, 0),
+                0,
+                0,
+            )
+
+        return pl.BlockSpec((1, bc, H, W), imap)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # src_idx, k_idx
+        num_scalar_prefetch=2 + len(sources),  # src_idx, k_idx, blk_s...
         grid=(B, C // bc),
-        in_specs=[
-            pl.BlockSpec((1, bc, H, W), lambda b, c, src_ref, k_ref: (b, c, 0, 0))
-            for _ in sources
-        ],
+        in_specs=[_spec(s) for s in range(len(sources))],
         out_specs=pl.BlockSpec(
-            (1, bc, H, W), lambda b, c, src_ref, k_ref: (b, c, 0, 0)
+            (1, bc, H, W), lambda b, c, *_: (b, c, 0, 0)
         ),
     )
 
     def kernel(src_ref, k_ref, *refs):
-        src_refs, out_ref = refs[:-1], refs[-1]
+        src_refs, out_ref = refs[len(sources) : -1], refs[-1]
         b = pl.program_id(0)
         k = k_ref[b] % 4
         for c in range(bc):
@@ -256,7 +294,7 @@ def _pallas_selectn(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), sources[0].dtype),
         interpret=interpret,
-    )(src_idx.astype(jnp.int32), k_idx.astype(jnp.int32), *sources)
+    )(src_idx, k_idx.astype(jnp.int32), *blks, *sources)
 
 
 def _pallas_select2_rolled(
@@ -333,25 +371,40 @@ def _pallas_selectn_rolled(
             p < n, jnp.mod(p - s, n), n + jnp.mod(p - n + s, n)
         )
 
-    def _src_block(b, c, *scalars):
-        sh_ = scalars[2]
-        return (b, (c // G) * G + _src_p(c % G, sh_[b]), 0, 0)
+    src_idx = src_idx.astype(jnp.int32)
+    # latest-used-block steering: see `_pallas_selectn` — unselected
+    # sources revisit their last-fetched block, so Pallas skips their DMA
+    blks = _latest_used_blocks(src_idx, len(sources))
+
+    def _src_spec(si):
+        def imap(b, c, *scalars):
+            sel_, sh_ = scalars[0], scalars[2]
+            blk_ = scalars[nps + si]
+            used = sel_[b] == si
+            rolled_c = (c // G) * G + _src_p(c % G, sh_[b])
+            return (
+                jnp.where(used, b, blk_[b]),
+                jnp.where(used, rolled_c, 0),
+                0,
+                0,
+            )
+
+        return pl.BlockSpec((1, 1, H, W), imap)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=nps,  # src_idx, k_idx, shift[, refl]
+        num_scalar_prefetch=nps + len(sources),  # src,k,shift[,refl],blk_s...
         grid=(B, C),
-        in_specs=[pl.BlockSpec((1, 1, H, W), _src_block) for _ in sources],
+        in_specs=[_src_spec(si) for si in range(len(sources))],
         out_specs=pl.BlockSpec(
             (1, 1, H, W), lambda b, c, *scalars: (b, c, 0, 0)
         ),
     )
 
     def kernel(src_ref, k_ref, sh_ref, *rest):
-        if with_refl:
-            refl_ref = rest[0]
-            src_refs, out_ref = rest[1:-1], rest[-1]
-        else:
-            src_refs, out_ref = rest[:-1], rest[-1]
+        # rest = ([refl_ref,] blk_0..blk_{S-1}, tensor_0..tensor_{S-1}, out)
+        refl_ref = rest[0] if with_refl else None
+        rest_t = rest[(1 if with_refl else 0) + len(sources) :]
+        src_refs, out_ref = rest_t[:-1], rest_t[-1]
         b = pl.program_id(0)
         plane = src_refs[0][0, 0]
         for si in range(1, len(src_refs)):
@@ -384,7 +437,7 @@ def _pallas_selectn_rolled(
                     strategy)
 
     scalars = [
-        src_idx.astype(jnp.int32),
+        src_idx,
         k_idx.astype(jnp.int32),
         shift.astype(jnp.int32),
     ]
@@ -395,7 +448,7 @@ def _pallas_selectn_rolled(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), sources[0].dtype),
         interpret=interpret,
-    )(*scalars, *sources)
+    )(*scalars, *blks, *sources)
 
 
 def rotate_roll_select(
@@ -407,18 +460,26 @@ def rotate_roll_select(
     padding_mode: str = "zeros",
     refl: Optional[Array] = None,
     interpret: bool = False,
+    mode: str = "fast",
 ) -> Array:
-    """Fused fast-mode invert: spatial rotate-select (+ optional hard
+    """Fused single-pass invert: spatial rotate-select (+ optional hard
     per-sample hflip for D_n) + regular-rep fiber roll in one pallas pass.
-    Bit-identical to `rotate_select(..., mode="fast")` (+ hflip blend) then
+    Bit-identical to `rotate_select(..., mode=mode)` (+ hflip blend) then
     `roll_by_gather` (pure permutations compose exactly; asserted in tests
     and on hardware by bench.py). Square images, hard selection.
+
+    mode="fast" builds the odd-residue sources with the two-pass MXU warp;
+    mode="exact" with the static-tap 4-tap warp (torch-parity numerics,
+    reference images/utils.py:32-94) — the kernel itself is identical, so
+    exact mode inherits the single-pass traffic profile (round-4 verdict
+    item: exact eval invert used to fall back to the 2|G|-trip blend plus
+    a separate fiber-roll einsum pass).
 
     With `refl` given, the channel layout is the D_n regular rep
     (C = fields * 2 * num_rotations): rotation fibers roll +shift,
     reflection fibers -shift, and reflected samples get an in-VMEM hflip.
     """
-    from equiadapt_tpu.ops.warp import rotate_twopass_nchw
+    from equiadapt_tpu.ops.warp import _static_rotate, rotate_twopass_nchw
 
     B, H, W, C = x.shape
     residues, src_of, k_of = _c_n_decomposition(
@@ -428,9 +489,16 @@ def rotate_roll_select(
     idx = jnp.mod(idx.astype(jnp.int32), num_rotations)
     src_idx = jnp.asarray(src_of, jnp.int32)[idx]
     k_idx = jnp.asarray(k_of, jnp.int32)[idx]
-    sources = [jnp.moveaxis(x, -1, 1)] + [
-        rotate_twopass_nchw(x, r, padding_mode) for r in residues[1:]
-    ]
+    if mode == "fast":
+        residual_sources = [
+            rotate_twopass_nchw(x, r, padding_mode) for r in residues[1:]
+        ]
+    else:
+        residual_sources = [
+            jnp.moveaxis(_static_rotate(x, r, padding_mode), -1, 1)
+            for r in residues[1:]
+        ]
+    sources = [jnp.moveaxis(x, -1, 1)] + residual_sources
     if len(sources) == 1:
         sources = sources * 2  # degenerate second source keeps one kernel
     num_group = num_rotations if refl is None else 2 * num_rotations

@@ -72,6 +72,32 @@ def test_rotate_roll_select_fuses_roll_bitexact(n):
     assert bool((fused == ref).all())
 
 
+@pytest.mark.parametrize("n", [4, 8])
+def test_rotate_roll_select_exact_mode_bitexact(n):
+    """mode="exact" fused invert == static-tap blend then roll_by_gather
+    (the round-4 exact-eval invert routing, group_action.py fused_ok)."""
+    import jax
+
+    from equiadapt_tpu.ops.group_action import roll_by_gather
+    from equiadapt_tpu.ops.pallas.select_warp import (
+        _blend_ref,
+        rotate_roll_select,
+    )
+
+    B, G, F = 8, n, 2
+    x = _x(b=B, h=16, c=F * G, seed=4)
+    idx = jnp.arange(B) % n
+    shift = idx.astype(jnp.int32)
+    fused = rotate_roll_select(
+        x, idx, shift, n, 1.0, "zeros", interpret=True, mode="exact"
+    )
+    ref = _blend_ref(x, idx, n, 1.0, "zeros")
+    ref = roll_by_gather(
+        ref.reshape(B, 16, 16, F, G), shift.astype(jnp.float32)
+    ).reshape(B, 16, 16, F * G)
+    assert bool((fused == ref).all())
+
+
 def test_rotate_select_dispatch_fallback_cpu():
     # on CPU the wrapper falls back to the blend path
     x = _x()
