@@ -445,6 +445,16 @@ class OptimizedGroupEquivariantImageCanonicalization(DiscreteGroupImageCanonical
     out_vector_size: int = 128
     learn_ref_vec: bool = False
     artifact_err_wt: float = 0.0
+    # Group-parallel training (parallel/group_parallel.py): names of the
+    # (group, data) mesh axes to constrain the (|G|*B) orbit batch onto,
+    # e.g. ("group", "data"). The orbit is reshaped (G, B, h, w, C), the
+    # G axis sharded over the group axis and B over the data axis, so the
+    # non-equivariant network's big-batch pass runs G-ways concurrent and
+    # the only cross-device traffic is the (B, G) activation gather XLA
+    # inserts for the reshape/argmax. Requires an active Mesh whose axis
+    # names match (jit under `with mesh:`); None (default) leaves
+    # placement to the compiler — single-chip behavior is unchanged.
+    orbit_sharding: Optional[Tuple[str, str]] = None
 
     def group_augment(self, x: Array) -> Array:
         """(B, h, w, C) -> (|G|*B, h, w, C) orbit, group-major.
@@ -466,6 +476,14 @@ class OptimizedGroupEquivariantImageCanonicalization(DiscreteGroupImageCanonical
         B = x.shape[0]
         G = self.num_group
         x_aug = self.group_augment(x)  # (G*B, h, w, C)
+        if self.orbit_sharding is not None:
+            from jax.sharding import PartitionSpec
+
+            gax, dax = self.orbit_sharding
+            x_aug = jax.lax.with_sharding_constraint(
+                x_aug.reshape(G, B, *x_aug.shape[1:]),
+                PartitionSpec(gax, dax),
+            ).reshape(G * B, *x_aug.shape[1:])
         vector_out = self.canonicalization_network(x_aug, training=training)
         extras = {"vector_out": vector_out}
 

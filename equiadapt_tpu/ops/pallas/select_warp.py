@@ -40,21 +40,20 @@ __all__ = [
 def _rot90_strategy() -> str:
     """Kernel rot90 lowering strategy, from EQUIADAPT_ROT90_STRATEGY.
 
-    "fp32" (default): exchange-matrix reversals on fp32 operands — the
-    round-2 proven path (transposed bf16 matmul operands were rejected by
-    Mosaic; fp32 transposes compile).
-    "mixed": for bf16 payloads, keep operands bf16 — single-MXU-pass
-    exchange matmuls for k=2 and an explicit in-VMEM transpose feeding a
-    bf16 matmul for k=1/3. Bit-identical output (every product is
-    1 * value); kept behind the knob until measured on hardware, since it
-    relies on Mosaic lowering a standalone bf16 2-D transpose.
+    "mixed" (default since round 4): for bf16 payloads, keep operands
+    bf16 — single-MXU-pass exchange matmuls for k=2 and an explicit
+    in-VMEM transpose feeding a bf16 matmul for k=1/3. Bit-identical
+    output (every product is 1 * value; asserted against the fp32 path on
+    hardware, round-4 measurement: ~6% faster on the C8 steered select).
+    "fp32": exchange-matrix reversals on fp32 operands — the round-2
+    proven fallback (fp32 payloads always take this path).
 
     Read OUTSIDE the jitted kernels and threaded as a static argument, so
     flipping the env var cannot hit a stale jit cache.
     """
     import os
 
-    return os.environ.get("EQUIADAPT_ROT90_STRATEGY", "fp32")
+    return os.environ.get("EQUIADAPT_ROT90_STRATEGY", "mixed")
 
 
 def _emit_rot90(plane, k, out_store, H: int, W: int, dt, strategy: str = "fp32"):
@@ -295,6 +294,222 @@ def _pallas_selectn(
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), sources[0].dtype),
         interpret=interpret,
     )(src_idx, k_idx.astype(jnp.int32), *blks, *sources)
+
+
+def _emit_rot90_interleaved(
+    Z, k, c_ch: int, out_store, H: int, WC: int, dt, strategy: str = "mixed"
+):
+    """Write rot90^k of a channel-interleaved row plane through `out_store`.
+
+    Z is an (H, W*C) VMEM view of one NHWC sample (C channels interleaved
+    along the minor axis); `out_store` receives the rotated plane in the
+    SAME interleaved layout. This keeps the whole canonicalize fast path in
+    the network-native NHWC layout: no transpose copies feed the kernel
+    and none follow it (the prediction stem reads the output bytes as
+    (H, W, C) directly).
+
+    Algebra (all matmuls; Mosaic has no `rev`):
+    * k=0: copy.
+    * k=2: EX_H @ Z @ PX, with PX the (WC, WC) block anti-diagonal
+      permutation that reverses W while fixing the channel within each
+      W-block — one reversal matmul per side, same MXU work as the NCHW
+      kernel's per-plane reversals (work scales with the bytes moved).
+    * k=1/3: per channel c, de-interleave Y_c = Z @ S_c ((WC, W)
+      selection), rot90 Y_c exactly as `_emit_rot90`, re-interleave by
+      accumulating out += rot(Y_c) @ S_c^T. ~3x the MXU flops of the NCHW
+      kernel at C=3 — still far below the DMA time it saves by never
+      materializing an NCHW transpose of the batch in HBM.
+
+    Every matmul has exactly one nonzero per output element, so bf16
+    payloads are exact under single-pass DEFAULT precision ("mixed"
+    strategy); fp32 payloads use HIGHEST like `_emit_rot90`.
+    """
+    from jax.experimental import pallas as pl
+
+    assert WC % c_ch == 0
+    W = WC // c_ch
+    use_bf16 = strategy == "mixed" and dt == jnp.bfloat16
+    cdt = jnp.bfloat16 if use_bf16 else jnp.float32
+    img = Z.astype(cdt)
+    prec = (
+        jax.lax.Precision.DEFAULT
+        if dt == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    rows_h = jax.lax.broadcasted_iota(jnp.int32, (H, H), 0)
+    cols_h = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+    ex_h = (rows_h + cols_h == H - 1).astype(cdt)
+
+    @pl.when(k == 0)
+    def _():
+        out_store(img.astype(dt))
+
+    @pl.when(k == 2)
+    def _():
+        r = jax.lax.broadcasted_iota(jnp.int32, (WC, WC), 0)
+        q = jax.lax.broadcasted_iota(jnp.int32, (WC, WC), 1)
+        px = ((r % c_ch == q % c_ch) & (r // c_ch + q // c_ch == W - 1)).astype(cdt)
+        out_store(dot(dot(ex_h, img), px).astype(dt))
+
+    if c_ch == 1:
+        # plain (H, W) plane: reuse the exchange/transpose forms directly
+        @pl.when(k == 1)
+        def _():
+            out_store(dot(ex_h, img.T).astype(dt))
+
+        @pl.when(k == 3)
+        def _():
+            out_store(dot(img.T, ex_h).astype(dt))
+
+        return
+
+    # Odd quarter turns: O = sum_c A_c @ Z^T @ B_c with STATIC permutation
+    # factors (A_c row-selects the c-subgrid of the transposed plane, B_c
+    # re-interleaves the columns) — one shared whole-matrix transpose plus
+    # 2 permutation matmuls per channel. The channel sum is irreducible:
+    # a quarter turn of an interleaved plane couples the channel slot of
+    # the minor index into the major row selection, which no single
+    # (row-perm, col-perm) pair can express.
+    ri = jax.lax.broadcasted_iota(jnp.int32, (H, WC), 0)  # i (rows)
+    mi = jax.lax.broadcasted_iota(jnp.int32, (H, WC), 1)  # m (cols)
+    T = img.T  # (WC, H) — explicit relayout; bf16 transposes lower fine
+
+    def odd(k_val):
+        acc = None
+        for c in range(c_ch):
+            if k_val == 1:
+                # O[i, j*C+c] = Z[j, (W-1-i)*C+c] = T[(W-1-i)*C+c, j]
+                a_c = ((mi % c_ch == c) & (mi // c_ch + ri == W - 1)).astype(cdt)
+                b_c = ((mi % c_ch == c) & (mi // c_ch == ri)).astype(cdt)
+            else:
+                # O[i, j*C+c] = Z[W-1-j, i*C+c] = T[i*C+c, W-1-j]
+                a_c = ((mi % c_ch == c) & (mi // c_ch == ri)).astype(cdt)
+                b_c = ((mi % c_ch == c) & (mi // c_ch + ri == W - 1)).astype(cdt)
+            term = dot(dot(a_c, T).astype(cdt), b_c)
+            acc = term if acc is None else acc + term
+        return acc.astype(dt)
+
+    @pl.when(k == 1)
+    def _():
+        out_store(odd(1))
+
+    @pl.when(k == 3)
+    def _():
+        out_store(odd(3))
+
+
+@functools.partial(jax.jit, static_argnames=("c_ch", "interpret", "strategy"))
+def _pallas_selectn_ilv(
+    sources, src_idx: Array, k_idx: Array, c_ch: int, interpret: bool = False,
+    strategy: str = "mixed",
+) -> Array:
+    """Steered multi-source select on channel-interleaved NHWC row planes.
+
+    sources: tuple of (B, H, W*C) views of NHWC tensors (reshape is free —
+    same bytes). Per sample b: pick sources[src_idx[b]][b], rot90 it by
+    k_idx[b] in the interleaved layout (`_emit_rot90_interleaved`), write
+    (B, H, W*C). Latest-used-block steering skips the DMA of unselected
+    sources (see `_pallas_selectn`), so traffic is one read + one write of
+    the batch regardless of how many residual sources exist.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sources = tuple(sources)
+    B, H, WC = sources[0].shape
+    src_idx = src_idx.astype(jnp.int32)
+    blks = _latest_used_blocks(src_idx, len(sources))
+
+    def _spec(s):
+        def imap(b, src_ref, k_ref, *blk_refs):
+            used = src_ref[b] == s
+            return (jnp.where(used, b, blk_refs[s][b]), 0, 0)
+
+        return pl.BlockSpec((1, H, WC), imap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 + len(sources),
+        grid=(B,),
+        in_specs=[_spec(s) for s in range(len(sources))],
+        out_specs=pl.BlockSpec((1, H, WC), lambda b, *_: (b, 0, 0)),
+    )
+
+    def kernel(src_ref, k_ref, *refs):
+        src_refs, out_ref = refs[len(sources) : -1], refs[-1]
+        b = pl.program_id(0)
+        plane = src_refs[0][0]
+        for s in range(1, len(src_refs)):
+            plane = jnp.where(src_ref[b] == s, src_refs[s][0], plane)
+
+        def store(v):
+            out_ref[0] = v
+
+        _emit_rot90_interleaved(
+            plane, k_ref[b] % 4, c_ch, store, H, WC, sources[0].dtype, strategy
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, WC), sources[0].dtype),
+        interpret=interpret,
+    )(src_idx, k_idx.astype(jnp.int32), *blks, *sources)
+
+
+def pallas_rotate_select_nhwc(
+    x: Array,
+    idx: Array,
+    num_rotations: int,
+    sign: float = -1.0,
+    padding_mode: str = "border",
+    interpret: bool = False,
+    mode: str = "fast",
+) -> Array:
+    """Single-pass select natively in NHWC: no transpose on either side.
+
+    The NCHW kernels are bracketed by full-batch transposes whose HBM
+    copies dominate the select itself at C=3 (round-3 attribution table,
+    docs/benchmarking.md). Here the sources stay NHWC — each (B, H, W, C)
+    tensor is viewed as (B, H, W*C) rows (free reshape) and the rot90 runs
+    in the channel-interleaved layout inside the kernel — and the output
+    bytes are already the (B, H, W, C) the prediction stem wants. Selected
+    values are bit-identical to `rotate_select(...)` (same residual-source
+    warps, exchange-matrix reversal algebra; asserted in tests and on
+    hardware by bench.py).
+    """
+    from equiadapt_tpu.ops.warp import _static_rotate, rotate_twopass
+
+    B, H, W, C = x.shape
+    assert H == W, "select kernel needs square images"
+    residues, src_of, k_of = _c_n_decomposition(
+        num_rotations, 1.0 if sign > 0 else -1.0
+    )
+    assert len(residues) <= 4, (num_rotations, residues)
+    idx = jnp.mod(idx.astype(jnp.int32), num_rotations)
+    src_idx = jnp.asarray(src_of, jnp.int32)[idx]
+    k_idx = jnp.asarray(k_of, jnp.int32)[idx]
+    residual = rotate_twopass if mode == "fast" else _static_rotate
+    # the exact 4-tap warp accumulates in fp32; cast back to the payload
+    # dtype BEFORE the kernel so the selected values match the blend path
+    # bit-for-bit (the blend also rounds once, after its hard one-hot)
+    sources = [x] + [
+        residual(x, r, padding_mode).astype(x.dtype) for r in residues[1:]
+    ]
+    if len(sources) == 1:
+        sources = sources * 2  # degenerate second source keeps one kernel
+    flat = tuple(s.reshape(B, H, W * C) for s in sources)
+    out = _pallas_selectn_ilv(
+        flat, src_idx, k_idx, C, interpret=interpret, strategy=_rot90_strategy()
+    )
+    return out.reshape(B, H, W, C)
 
 
 def _pallas_select2_rolled(
@@ -681,6 +896,20 @@ def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode, mode):
         and x.shape[1] == x.shape[2]
         and len(_c_n_decomposition(num_rotations, sign)[0]) <= 4
     )
+    # Thin-channel batches (images: C<=4) can go through the NHWC-native
+    # interleaved kernel — zero transpose copies on either side, but the
+    # in-kernel de-interleave matmuls for odd quarter-turns are VPU/MXU
+    # heavy; opt-in via EQUIADAPT_SELECT_LAYOUT=nhwc until it beats the
+    # NCHW kernel on hardware (round-4 A/B: the NCHW-spine arrangement
+    # still wins at C=3/224px). Wide fibers (regular reps, C=16+) always
+    # keep the NCHW kernel — the interleave algebra scales with C^2.
+    import os
+
+    use_ilv = (
+        on_tpu_square
+        and x.shape[-1] <= 4
+        and os.environ.get("EQUIADAPT_SELECT_LAYOUT", "nchw") == "nhwc"
+    )
     if mode == "fast":
         # round-3 crossover (loop-amortized measurement, docs/
         # benchmarking.md): with 3-plane blocks the steered kernel beats
@@ -688,6 +917,10 @@ def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode, mode):
         # that favored XLA at thin channels was flattered by moveaxis
         # cancellation between iterations), so every square select goes
         # through pallas
+        if use_ilv:
+            return pallas_rotate_select_nhwc(
+                x, idx, num_rotations, sign, padding_mode, mode="fast"
+            )
         if on_tpu_square:
             return pallas_rotate_select(
                 x, idx, num_rotations, sign, padding_mode, mode="fast"
@@ -695,6 +928,10 @@ def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode, mode):
         from equiadapt_tpu.ops.warp import rotate_select_fast
 
         return rotate_select_fast(x, idx, num_rotations, sign, padding_mode)
+    if use_ilv:
+        return pallas_rotate_select_nhwc(
+            x, idx, num_rotations, sign, padding_mode, mode="exact"
+        )
     if on_tpu_square:
         return pallas_rotate_select(x, idx, num_rotations, sign, padding_mode)
     return _blend_ref(x, idx, num_rotations, sign, padding_mode)

@@ -256,3 +256,63 @@ def test_rot90_mixed_strategy_bitexact(monkeypatch):
         out = pallas_rotate_select(x, idx, 8, -1.0, "border", interpret=True)
         assert out.dtype == x.dtype
         assert bool((out == ref).all())
+
+
+def test_nhwc_interleaved_select_matches_blend_all_modes():
+    """The NHWC-native interleaved kernel (round 4: zero transpose copies
+    on either side of the select) is bit-identical to the blend reference
+    for both warp modes, C in {1, 3, 4}, and both payload dtypes (the
+    exact-mode bf16 comparison happens after the blend's single final
+    round, which is where the canonicalizer casts — same contract as the
+    NCHW kernel's pre-cast sources)."""
+    import numpy as np
+
+    from equiadapt_tpu.ops.pallas.select_warp import (
+        _blend_ref,
+        pallas_rotate_select_nhwc,
+    )
+    from equiadapt_tpu.ops.warp import rotate_select_fast
+
+    rng = np.random.default_rng(7)
+    for C, n in [(1, 4), (3, 8), (4, 12)]:
+        x32 = jnp.asarray(
+            rng.normal(size=(6, 24, 24, C)).astype(np.float32)
+        )
+        idx = jnp.asarray(rng.integers(0, n, size=(6,)).astype(np.int32))
+        for x in (x32, x32.astype(jnp.bfloat16)):
+            fast = pallas_rotate_select_nhwc(
+                x, idx, n, -1.0, "border", interpret=True, mode="fast"
+            )
+            ref_fast = rotate_select_fast(x, idx, n, -1.0, "border")
+            assert fast.dtype == x.dtype
+            assert bool((fast == ref_fast.astype(x.dtype)).all()), (C, n, x.dtype)
+            exact = pallas_rotate_select_nhwc(
+                x, idx, n, -1.0, "border", interpret=True, mode="exact"
+            )
+            ref_exact = _blend_ref(x, idx, n, -1.0, "border").astype(x.dtype)
+            assert bool((exact == ref_exact).all()), (C, n, x.dtype)
+
+
+def test_nhwc_interleaved_matches_nchw_kernel():
+    """NHWC and NCHW steered kernels agree element-for-element (same
+    residual warps, same reversal algebra in a different layout)."""
+    import numpy as np
+
+    from equiadapt_tpu.ops.pallas.select_warp import (
+        pallas_rotate_select,
+        pallas_rotate_select_nhwc,
+    )
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(
+        rng.normal(size=(5, 16, 16, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, 8, size=(5,)).astype(np.int32))
+    for mode in ("fast", "exact"):
+        a = pallas_rotate_select_nhwc(
+            x, idx, 8, -1.0, "border", interpret=True, mode=mode
+        )
+        b = pallas_rotate_select(
+            x, idx, 8, -1.0, "border", interpret=True, mode=mode
+        )
+        assert bool((a == b).all()), mode
