@@ -557,7 +557,7 @@ def bench_jax() -> dict:
         xt2 = pool2(x[:bt])
         labels = jnp.asarray(rng.integers(0, 10, size=(bt,)), dtype=jnp.int32)
 
-        def train_ms(canon, resnet, n_loop=8, reps=2):
+        def train_ms(canon, resnet, n_loop=8, reps=2, want_flops=False):
             from equiadapt_tpu.pipelines.classification import (
                 TrainState, make_train_step,
             )
@@ -578,6 +578,21 @@ def bench_jax() -> dict:
                 apply_fn=pipe.apply,
             )
             step = make_train_step({"prior_weight": 100.0}, jit=False)
+            flops = None
+            if want_flops:
+                # XLA's own HLO flop count for ONE step (pre-compile cost
+                # analysis of the lowered module — no extra device compile)
+                try:
+                    lowered = jax.jit(step).lower(
+                        state, {"image": x[:bt], "label": labels},
+                        jax.random.key(0),
+                    )
+                    ca = lowered.cost_analysis()
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
+                    flops = float(ca.get("flops", 0.0)) or None
+                except Exception:
+                    flops = None
 
             def run(st, xps, yy):
                 def body(it, s):
@@ -596,11 +611,62 @@ def bench_jax() -> dict:
                 st = f(st, xt2, labels)
                 float(jax.tree_util.tree_leaves(st.params)[0].sum())
                 best = min(best, (time.perf_counter() - t0) / n_loop * 1e3)
-            return best
+            return best, flops
 
-        out["train_step_bf16_fast_ms"] = train_ms(canon_fast, resnet_bf16)
-        out["train_step_fp32_exact_ms"] = train_ms(canon_exact, resnet_f32)
+        out["train_step_bf16_fast_ms"], tr_flops = train_ms(
+            canon_fast, resnet_bf16, want_flops=True
+        )
+        out["train_step_fp32_exact_ms"], _ = train_ms(canon_exact, resnet_f32)
+        # MFU: XLA-counted flops per step / (step time * peak). Peak by
+        # device generation; bf16 MXU numbers (fp32 paths would need the
+        # fp32 peak — only the bf16-fast train/eval MFU is reported).
+        out["train_flops_per_step"] = tr_flops
+        out["peak_flops"] = _peak_bf16_flops()
+        if tr_flops and out["train_step_bf16_fast_ms"] and out["peak_flops"]:
+            out["train_mfu_pct"] = (
+                100.0 * tr_flops
+                / (out["train_step_bf16_fast_ms"] * 1e-3)
+                / out["peak_flops"]
+            )
+        else:
+            out["train_mfu_pct"] = None
+    # eval-forward MFU from the bare ResNet-50 bf16 forward measurement
+    try:
+        lowered = jax.jit(
+            lambda p, xx: resnet_bf16.apply(p, xx, training=False)
+        ).lower(res_params_bf16, x)
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        ev_flops = float(ca.get("flops", 0.0)) or None
+        pk = _peak_bf16_flops()
+        out["eval_mfu_pct"] = (
+            100.0 * ev_flops / (out["bare_bf16_ms"] * 1e-3) / pk
+            if ev_flops and pk else None
+        )
+    except Exception:
+        out["eval_mfu_pct"] = None
     return out
+
+
+def _peak_bf16_flops():
+    """Peak bf16 matmul flops/s for the attached TPU generation (public
+    spec sheets: v5e 197 TF, v5p 459 TF, v4 275 TF, v6e 918 TF)."""
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    table = {
+        "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+        "v5p": 459e12, "v5": 459e12,
+        "v4": 275e12, "v6e": 918e12, "v6 lite": 918e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return None
 
 
 def bench_torch_cpu() -> float:
@@ -769,6 +835,14 @@ def main() -> None:
                 "train_step_fp32_exact_ms": (
                     round(m["train_step_fp32_exact_ms"], 2)
                     if m["train_step_fp32_exact_ms"] is not None else None
+                ),
+                "train_mfu_pct": (
+                    round(m["train_mfu_pct"], 2)
+                    if m.get("train_mfu_pct") else None
+                ),
+                "eval_mfu_pct": (
+                    round(m["eval_mfu_pct"], 2)
+                    if m.get("eval_mfu_pct") else None
                 ),
                 "discrete_train_fast_ms": round(m["discrete_train_fast_ms"], 2),
                 "continuous_canonicalize_exact_ms": round(

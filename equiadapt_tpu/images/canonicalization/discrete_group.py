@@ -162,10 +162,17 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
             rotate_select_nchw,
         )
 
-        # EQUIADAPT_NCHW_SPINE: "auto" (TPU only, default), "never", or
-        # "interpret" (force the branch through the interpret-mode kernel —
-        # lets the CPU test suite drive this path end-to-end)
-        spine = os.environ.get("EQUIADAPT_NCHW_SPINE", "auto")
+        # EQUIADAPT_NCHW_SPINE: "never" (default since round 4 — the
+        # hybrid arrangement in `canonicalize`'s generic path, where the
+        # energy and the residual two-pass read the NHWC bf16 cast and
+        # only the select kernel's sources are NCHW, measures 7.4%
+        # wrapper overhead vs the NCHW spine's 9.2% at C8/224px: the
+        # spine's single NCHW materialization forks into divergent
+        # consumer layouts anyway, paying two extra relayout copies),
+        # "auto" (enable on TPU), or "interpret" (force the branch
+        # through the interpret-mode kernel — lets the CPU test suite
+        # drive this path end-to-end)
+        spine = os.environ.get("EQUIADAPT_NCHW_SPINE", "never")
         interpret = spine == "interpret"
         if (
             training

@@ -322,9 +322,14 @@ def rotate_twopass_nchw(
         return jnp.moveaxis(out, -1, 1)
     dt = x.dtype
     M1, M2 = _twopass_matrices(H, W, r, padding_mode, dt)
-    V = jnp.einsum("yhw,bhwc->bywc", M1, x, preferred_element_type=jnp.float32)
+    # (y, w, b, c) intermediate: pass-1's natural output layout feeds
+    # pass-2's operand DMA without the V relayout copy XLA inserts for the
+    # (b, y, w, c) ordering (round-4 measurement: -0.2 ms at 224px/256 in
+    # the select chain; identical reduction order, so outputs are
+    # bit-identical to the previous form)
+    V = jnp.einsum("yhw,bhwc->ywbc", M1, x, preferred_element_type=jnp.float32)
     out = jnp.einsum(
-        "ywx,bywc->bcyx", M2, V.astype(dt), preferred_element_type=jnp.float32
+        "ywx,ywbc->bcyx", M2, V.astype(dt), preferred_element_type=jnp.float32
     ).astype(dt)
     return jnp.rot90(out, k=k, axes=(2, 3)) if k else out
 

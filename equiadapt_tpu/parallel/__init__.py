@@ -26,6 +26,7 @@ from equiadapt_tpu.parallel.pp import (
 )
 
 from equiadapt_tpu.parallel.tp import (
+    check_tp_coverage,
     make_mesh_2d,
     sam_tp_spec,
     shard_params_tp,
@@ -51,6 +52,7 @@ __all__ = [
     "vit_pipeline_apply",
     "make_mesh_2d",
     "sam_tp_spec",
+    "check_tp_coverage",
     "shard_params_tp",
     "shard_state_tp",
     "vit_tp_spec",

@@ -16,11 +16,14 @@ Design:
   stacked on a leading L axis (`stack_layer_params`) and sharded P("stage"),
   so each device scans its local L/S slice. Embedding/head stay replicated
   outside the pipeline (they are <1% of trunk FLOPs/params in a deep ViT).
-* The microbatch queue is replicated; only stage 0 injects from it and only
-  stage S-1's outputs are kept (masked psum broadcast at the end). This
-  spends a little extra HBM for a lot of schedule simplicity — fine for the
-  trunk activations this targets; the inter-stage traffic itself is the
-  minimal one activation per tick.
+* The microbatch queue is replicated by default; only stage 0 injects from
+  it and only stage S-1's outputs are kept (masked psum broadcast at the
+  end). `shard_queue=True` shards the queue and the output buffer over the
+  stage axis instead (each device holds M/S microbatches; injection and
+  collection broadcast one microbatch per tick over ICI).
+* Training mode: pass `rng` and a 3-argument block_fn — the key is folded
+  with (global layer, microbatch), so dropout noise is a pure function of
+  the (layer, sample-group) pair, independent of the pipeline schedule.
 * Bubble fraction is the GPipe (S-1)/(M+S-1); choose num_microbatches >= S.
 
 `vit_pipeline_apply` adapts `models.vit.ViT` (eval mode): patch-embed +
@@ -74,21 +77,34 @@ def stack_layer_params(params: Dict[str, Any], prefix: str) -> Any:
 
 
 def pipeline_apply(
-    block_fn: Callable[[Any, Array], Array],
+    block_fn: Callable[..., Array],
     stacked_params: Any,
     x: Array,
     mesh: Mesh,
     *,
     num_microbatches: int,
     axis: str = "stage",
+    rng: Any = None,
+    shard_queue: bool = False,
 ) -> Array:
     """Run a stacked block trunk as an S-stage pipeline.
 
     Args:
-        block_fn: (one layer's params, activations) -> activations.
+        block_fn: (one layer's params, activations) -> activations; with
+            `rng` given, (params, activations, rng) -> activations — the
+            key is folded with (global layer index, microbatch index), so
+            e.g. per-layer dropout draws the same noise the sequential
+            stack would draw with the same folding scheme (training-mode
+            pipelines; round-4 verdict item 6).
         stacked_params: pytree with leading axis L (L % S == 0).
         x: (B, ...) trunk input; B % num_microbatches == 0.
         mesh: 1-D mesh with the pipeline axis.
+        shard_queue: shard the microbatch queue AND the output buffer over
+            the stage axis (M % S == 0) instead of replicating them —
+            per-device queue memory drops from 2*M to 2*M/S microbatches;
+            each tick moves one extra microbatch over ICI (a masked-psum
+            broadcast at injection and collection), same volume as the
+            ppermute itself.
 
     Returns:
         (B, ...) trunk output, numerically equal to applying the L blocks
@@ -104,49 +120,86 @@ def pipeline_apply(
     B = x.shape[0]
     if B % M:
         raise ValueError(f"batch {B} does not split into {M} microbatches")
+    if shard_queue and M % S:
+        raise ValueError(
+            f"shard_queue needs num_microbatches ({M}) divisible by the "
+            f"stage count ({S})"
+        )
     mbq = x.reshape(M, B // M, *x.shape[1:])
     perm = [(i, (i + 1) % S) for i in range(S)]
+    L_loc = L // S
 
-    def stage_apply(local_params, h):
-        def body(c, p):
-            return block_fn(p, c), None
+    def stage_apply(local_params, h, sidx, mb):
+        if rng is None:
+            def body(c, p):
+                return block_fn(p, c), None
 
-        out, _ = lax.scan(body, h, local_params)
+            out, _ = lax.scan(body, h, local_params)
+        else:
+            gl0 = sidx * L_loc
+
+            def body(c, pl):
+                p, li = pl
+                r = jax.random.fold_in(jax.random.fold_in(rng, gl0 + li), mb)
+                return block_fn(p, c, r), None
+
+            out, _ = lax.scan(
+                body, h, (local_params, jnp.arange(L_loc, dtype=jnp.int32))
+            )
         return out
 
-    def pp_local(local_params, mbq):
+    def pp_local(local_params, mbq_l):
         sidx = lax.axis_index(axis)
         T = M + S - 1
-        carry = jnp.zeros_like(mbq[0])
-        outs = jnp.zeros_like(mbq)
+        chunk = mbq_l.shape[0]  # M (replicated) or M // S (sharded)
+        carry = jnp.zeros_like(mbq_l[0])
+        outs = jnp.zeros_like(mbq_l)
 
         def tick(t, state):
             carry, outs = state
-            inject = lax.dynamic_index_in_dim(
-                mbq, jnp.minimum(t, M - 1), 0, keepdims=False
-            )
+            tm = jnp.minimum(t, M - 1)
+            if shard_queue:
+                owner = tm // chunk
+                local = lax.dynamic_index_in_dim(
+                    mbq_l, tm % chunk, 0, keepdims=False
+                )
+                inject = lax.psum(
+                    jnp.where(sidx == owner, local, 0), axis
+                )
+            else:
+                inject = lax.dynamic_index_in_dim(mbq_l, tm, 0, keepdims=False)
             h_in = jnp.where(sidx == 0, inject, carry)
-            y = stage_apply(local_params, h_in)
+            # stage s processes microbatch (t - s) at tick t
+            mb = jnp.clip(t - sidx, 0, M - 1)
+            y = stage_apply(local_params, h_in, sidx, mb)
             # last stage finishes microbatch (t - (S-1)) at tick t
             oidx = t - (S - 1)
-            keep = (sidx == S - 1) & (oidx >= 0)
-            upd = lax.dynamic_update_index_in_dim(
-                outs, y, jnp.maximum(oidx, 0), 0
-            )
+            if shard_queue:
+                y_b = lax.psum(jnp.where(sidx == S - 1, y, 0), axis)
+                keep = (sidx == jnp.maximum(oidx, 0) // chunk) & (oidx >= 0)
+                upd = lax.dynamic_update_index_in_dim(
+                    outs, y_b, jnp.maximum(oidx, 0) % chunk, 0
+                )
+            else:
+                keep = (sidx == S - 1) & (oidx >= 0)
+                upd = lax.dynamic_update_index_in_dim(
+                    outs, y, jnp.maximum(oidx, 0), 0
+                )
             outs = jnp.where(keep, upd, outs)
             carry = lax.ppermute(y, axis, perm)
             return carry, outs
 
         carry, outs = lax.fori_loop(0, T, tick, (carry, outs))
-        # broadcast the last stage's outputs to every device
-        outs = lax.psum(jnp.where(sidx == S - 1, outs, 0), axis)
+        if not shard_queue:
+            # broadcast the last stage's outputs to every device
+            outs = lax.psum(jnp.where(sidx == S - 1, outs, 0), axis)
         return outs
 
     fn = shard_map(
         pp_local,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), P(axis) if shard_queue else P()),
+        out_specs=P(axis) if shard_queue else P(),
         check_vma=False,  # masked-psum broadcast confuses the rep checker
     )
     out = fn(stacked_params, mbq)
@@ -161,12 +214,17 @@ def vit_pipeline_apply(
     *,
     num_microbatches: int,
     axis: str = "stage",
+    training: bool = False,
+    rng: Any = None,
+    shard_queue: bool = False,
 ) -> Array:
-    """Eval-mode ViT forward with the encoder trunk pipelined.
+    """ViT forward with the encoder trunk pipelined (eval or training).
 
     Mirrors `models.vit.ViT.__call__` (patch conv, cls token, pos embedding,
     EncoderBlock stack, final LN, head); tests assert equality with the
-    plain apply so the mirror cannot drift silently.
+    plain apply so the mirror cannot drift silently. With training=True,
+    pass `rng`: each block's dropout key is folded with its (layer,
+    microbatch) pair inside the schedule.
     """
     import flax.linen as nn
 
@@ -190,12 +248,23 @@ def vit_pipeline_apply(
     )
     stacked = stack_layer_params(p, "EncoderBlock_")
 
-    def block_fn(bp, hh):
-        return block.apply({"params": bp}, hh, training=False)
+    if training:
+        if rng is None:
+            raise ValueError("training=True needs an rng for dropout")
+
+        def block_fn(bp, hh, r):
+            return block.apply(
+                {"params": bp}, hh, training=True, rngs={"dropout": r}
+            )
+    else:
+        rng = None
+
+        def block_fn(bp, hh):
+            return block.apply({"params": bp}, hh, training=False)
 
     h = pipeline_apply(
         block_fn, stacked, h, mesh, num_microbatches=num_microbatches,
-        axis=axis,
+        axis=axis, rng=rng, shard_queue=shard_queue,
     )
     h = nn.LayerNorm(dtype=vit.dtype).apply({"params": p["LayerNorm_0"]}, h)
     head = nn.Dense(vit.num_classes, dtype=vit.dtype)

@@ -461,3 +461,152 @@ def test_group_parallel_orbit_training_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4
         )
+
+
+def test_pipeline_parallel_training_mode_with_dropout():
+    """PP training mode (round-4 verdict item 6): per-(layer, microbatch)
+    folded dropout rngs through the scanned blocks — the pipelined forward
+    equals the sequential stack applying the same folding scheme, and a
+    grad step flows."""
+    from equiadapt_tpu.parallel.pp import (
+        make_mesh_stage,
+        pipeline_apply,
+        stack_layer_params,
+    )
+
+    L, D, B, M, S = 8, 16, 8, 4, 4
+    rng = np.random.default_rng(5)
+    params = {
+        f"Block_{i}": {
+            "w": jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.1),
+        }
+        for i in range(L)
+    }
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    base = jax.random.key(11)
+
+    def block_fn(p, h, r):
+        keep = jax.random.bernoulli(r, 0.8, h.shape).astype(h.dtype)
+        return h + jnp.tanh(h @ p["w"]) * keep / 0.8
+
+    # sequential reference with the SAME (layer, microbatch) fold scheme
+    mb = x.reshape(M, B // M, D)
+    seq_mbs = []
+    for m in range(M):
+        h = mb[m]
+        for l in range(L):
+            r = jax.random.fold_in(jax.random.fold_in(base, l), m)
+            h = block_fn(params[f"Block_{l}"], h, r)
+        seq_mbs.append(h)
+    seq = jnp.concatenate(seq_mbs, axis=0)
+
+    stacked = stack_layer_params(params, "Block_")
+    mesh = make_mesh_stage(S)
+    out = pipeline_apply(
+        block_fn, stacked, x, mesh, num_microbatches=M, rng=base
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=1e-5,
+                               atol=1e-6)
+
+    # grads flow through the training-mode schedule
+    g = jax.grad(
+        lambda sp: jnp.sum(
+            pipeline_apply(
+                block_fn, sp, x, mesh, num_microbatches=M, rng=base
+            )
+            ** 2
+        )
+    )(stacked)
+    gn = sum(
+        float(jnp.sum(a**2)) for a in jax.tree_util.tree_leaves(g)
+    )
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_pipeline_parallel_sharded_queue_matches_replicated():
+    """shard_queue=True (microbatch queue + output buffer sharded over the
+    stage axis) is numerically identical to the replicated-queue schedule."""
+    from equiadapt_tpu.parallel.pp import (
+        make_mesh_stage,
+        pipeline_apply,
+        stack_layer_params,
+    )
+
+    L, D, B, M, S = 8, 16, 16, 8, 4
+    rng = np.random.default_rng(6)
+    params = {
+        f"Block_{i}": {
+            "w": jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.1),
+            "b": jnp.asarray(rng.normal(size=(D,)).astype(np.float32) * 0.1),
+        }
+        for i in range(L)
+    }
+    x = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+
+    def block_fn(p, h):
+        return h + jnp.tanh(h @ p["w"] + p["b"])
+
+    stacked = stack_layer_params(params, "Block_")
+    mesh = make_mesh_stage(S)
+    rep = pipeline_apply(block_fn, stacked, x, mesh, num_microbatches=M)
+    shq = pipeline_apply(
+        block_fn, stacked, x, mesh, num_microbatches=M, shard_queue=True
+    )
+    np.testing.assert_allclose(np.asarray(shq), np.asarray(rep), rtol=1e-6)
+    with pytest.raises(ValueError, match="divisible by the stage count"):
+        pipeline_apply(
+            block_fn, stacked, x, mesh, num_microbatches=6, shard_queue=True
+        )
+
+
+def test_vit_pipeline_training_mode_runs():
+    """Training-mode pipelined ViT: dropout rngs thread through the
+    schedule; with dropout rate 0 the output equals the eval pipeline."""
+    from equiadapt_tpu.models import ViT
+    from equiadapt_tpu.parallel.pp import make_mesh_stage, vit_pipeline_apply
+
+    vit = ViT(
+        num_classes=5, patch_size=4, hidden_dim=16, num_layers=4,
+        num_heads=2, mlp_dim=32, dropout=0.0,
+    )
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 3)).astype(np.float32))
+    variables = vit.init(jax.random.key(0), x, training=False)
+    mesh = make_mesh_stage(4)
+    ev = vit_pipeline_apply(vit, variables, x, mesh, num_microbatches=2)
+    tr = vit_pipeline_apply(
+        vit, variables, x, mesh, num_microbatches=2, training=True,
+        rng=jax.random.key(3),
+    )
+    np.testing.assert_allclose(np.asarray(tr), np.asarray(ev), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_tp_coverage_check_catches_renamed_module():
+    """check_tp_coverage passes on a real ViT tree and raises when a
+    transformer sublayer is renamed out of the ruleset (round-4 verdict
+    item 6: unmatched->replicated was silent)."""
+    from equiadapt_tpu.models import ViT
+    from equiadapt_tpu.parallel import check_tp_coverage
+
+    vit = ViT(num_classes=4, patch_size=4, hidden_dim=16, num_layers=2,
+              num_heads=4, mlp_dim=32)
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    params = vit.init(jax.random.key(0), x, training=False)["params"]
+    matched = check_tp_coverage(params)
+    assert len(matched) >= 8  # qkv/out/mlp leaves across 2 blocks
+
+    # rename Dense_0 inside a block -> matrix leaf loses its spec -> raise
+    import copy
+
+    broken = copy.deepcopy(jax.tree_util.tree_map(lambda a: a, params))
+    blk = dict(broken["EncoderBlock_0"])
+    blk["DenseRenamed_0"] = blk.pop("Dense_0")
+    broken = dict(broken)
+    broken["EncoderBlock_0"] = blk
+    with pytest.raises(ValueError, match="renamed sublayer"):
+        check_tp_coverage(broken)
+
+    # wrong tree entirely -> "no leaf matched"
+    with pytest.raises(ValueError, match="no parameter leaf matched"):
+        check_tp_coverage({"conv": {"kernel": np.zeros((3, 3))}})
