@@ -99,7 +99,11 @@ def bilinear_sample(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    x_flat = x.reshape(B, H * W, C).astype(compute_dtype)
+    # single flat (B*H*W, C) row gather with batch-offset global indices:
+    # measured ~6% faster than per-sample take_along_axis on the target
+    # TPU runtime for the dynamic-angle warps (round-4), same values
+    x_flat = x.reshape(B * H * W, C).astype(compute_dtype)
+    base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
 
     def tap(xi: Array, yi: Array, w: Array) -> Array:
         if padding_mode == "border":
@@ -113,8 +117,8 @@ def bilinear_sample(
             wt = w * valid.astype(compute_dtype)
         else:
             raise ValueError(f"padding_mode must be zeros or border, got {padding_mode}")
-        idx = (yc * W + xc).reshape(B, Ho * Wo)
-        vals = jnp.take_along_axis(x_flat, idx[:, :, None], axis=1)
+        idx = (yc * W + xc).reshape(B, Ho * Wo).astype(jnp.int32) + base
+        vals = jnp.take(x_flat, idx.reshape(-1), axis=0)
         return vals.reshape(B, Ho, Wo, C) * wt[..., None]
 
     out = (
