@@ -554,8 +554,10 @@ def test_pipeline_parallel_sharded_queue_matches_replicated():
     )
     np.testing.assert_allclose(np.asarray(shq), np.asarray(rep), rtol=1e-6)
     with pytest.raises(ValueError, match="divisible by the stage count"):
+        # 2 microbatches split batch 16 cleanly but don't divide the 4
+        # stages, so the shard_queue stage-divisibility check must fire
         pipeline_apply(
-            block_fn, stacked, x, mesh, num_microbatches=6, shard_queue=True
+            block_fn, stacked, x, mesh, num_microbatches=2, shard_queue=True
         )
 
 
