@@ -215,10 +215,27 @@ def _latest_used_blocks(src_idx: Array, num_sources: int) -> list:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "strategy"))
+def _pair_batch() -> int:
+    """Samples per select-kernel grid step, from EQUIADAPT_SELECT_PAIR.
+
+    Default 2 (round-4 measurement: pairing halves the grid-step count and
+    its fixed DMA-issue cost, ~-0.1 ms on the C8/224px/256 chain; a mixed-
+    source pair fetches both sources for both samples, but the extra
+    traffic is cheaper than the saved issue overhead). Set to 1 to restore
+    per-sample steering. Read OUTSIDE jit and passed statically.
+    """
+    import os
+
+    try:
+        return max(1, int(os.environ.get("EQUIADAPT_SELECT_PAIR", "2")))
+    except ValueError:
+        return 2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "strategy", "bt"))
 def _pallas_selectn(
     sources, src_idx: Array, k_idx: Array, interpret: bool = False,
-    strategy: str = "fp32",
+    strategy: str = "fp32", bt: int = 1,
 ) -> Array:
     """Multi-source select: per sample pick plane (b, c) from
     `sources[src_idx[b]]` (each (B, C, H, W)) and rot90 it by k_idx[b].
@@ -229,12 +246,21 @@ def _pallas_selectn(
     S planes are DMA'd per grid step (S-fold read amplification — callers
     cap S at ~4, past which the XLA blend path wins); the select happens
     in VMEM.
+
+    bt > 1 processes bt samples per grid step (round-4): fewer grid steps
+    amortize the per-step DMA issue cost; a group whose samples pick
+    different sources fetches each used source's whole (bt, bc, H, W)
+    block, trading some read amplification for issue overhead (measured
+    net win at bt=2, C8/224px). Selected values are bit-identical for any
+    bt — the per-sample select/rot90 algebra is unchanged.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     sources = tuple(sources)
     B, C, H, W = sources[0].shape
+    if bt > 1 and B % bt != 0:
+        bt = 1
     # Block sizing: a few channel planes per grid step. Whole-image blocks
     # at wide fibers (C=16 regular reps) push ~10 MB of block buffers into
     # VMEM, defeating double-buffering and serializing the DMAs (measured
@@ -246,6 +272,11 @@ def _pallas_selectn(
             bc = cand
             break
     src_idx = src_idx.astype(jnp.int32)
+    if bt > 1:
+        return _pallas_selectn_grouped(
+            sources, src_idx, k_idx.astype(jnp.int32), bc, bt,
+            interpret=interpret, strategy=strategy,
+        )
     # Latest-used-block steering (round 4): each source's index_map pins
     # unselected grid steps to the block it last fetched, so Pallas's
     # same-block revisit rule skips the DMA — per sample only the SELECTED
@@ -294,6 +325,71 @@ def _pallas_selectn(
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), sources[0].dtype),
         interpret=interpret,
     )(src_idx, k_idx.astype(jnp.int32), *blks, *sources)
+
+
+def _pallas_selectn_grouped(
+    sources, src_idx: Array, k_idx: Array, bc: int, bt: int,
+    interpret: bool = False, strategy: str = "fp32",
+) -> Array:
+    """bt-samples-per-step variant of `_pallas_selectn` (see its docstring).
+
+    Steering is per GROUP: a source is DMA'd for a group when any of its
+    bt samples selects it; unselected groups revisit the source's last
+    used group block (the same-block rule skips the DMA)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sources = tuple(sources)
+    B, C, H, W = sources[0].shape
+    grp_src = src_idx.reshape(-1, bt)
+    piota = jnp.arange(grp_src.shape[0], dtype=jnp.int32)
+    grp_any, blks = [], []
+    for s in range(len(sources)):
+        used = (grp_src == s).any(axis=1)
+        grp_any.append(used.astype(jnp.int32))
+        seq = jnp.where(used, piota, jnp.int32(-1))
+        blk = jax.lax.associative_scan(jnp.maximum, seq)
+        blks.append(jnp.maximum(blk, 0).astype(jnp.int32))
+
+    S = len(sources)
+
+    def _spec(s):
+        def imap(p, c, src_ref, k_ref, *scal):
+            any_s, blk_s = scal[s], scal[S + s]
+            used = any_s[p] == 1
+            return (jnp.where(used, p, blk_s[p]), jnp.where(used, c, 0), 0, 0)
+
+        return pl.BlockSpec((bt, bc, H, W), imap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 + 2 * S,  # src, k, any_s..., blk_s...
+        grid=(B // bt, C // bc),
+        in_specs=[_spec(s) for s in range(S)],
+        out_specs=pl.BlockSpec((bt, bc, H, W), lambda p, c, *_: (p, c, 0, 0)),
+    )
+
+    def kernel(src_ref, k_ref, *refs):
+        src_refs, out_ref = refs[2 * S : -1], refs[-1]
+        p = pl.program_id(0)
+        for i in range(bt):
+            b = p * bt + i
+            k = k_ref[b] % 4
+            for c in range(bc):
+                plane = src_refs[0][i, c]
+                for s in range(1, S):
+                    plane = jnp.where(src_ref[b] == s, src_refs[s][i, c], plane)
+
+                def store(v, i=i, c=c):
+                    out_ref[i, c] = v
+
+                _emit_rot90(plane, k, store, H, W, sources[0].dtype, strategy)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), sources[0].dtype),
+        interpret=interpret,
+    )(src_idx, k_idx, *grp_any, *blks, *sources)
 
 
 def _emit_rot90_interleaved(
@@ -766,7 +862,7 @@ def pallas_rotate_select_nchw(
     sources = [xn] + [residual(xn, r, padding_mode) for r in residues[1:]]
     return _pallas_selectn(
         tuple(sources), src_idx, k_idx, interpret=interpret,
-        strategy=_rot90_strategy(),
+        strategy=_rot90_strategy(), bt=_pair_batch(),
     )
 
 
@@ -860,7 +956,7 @@ def pallas_rotate_select(
             ]
             out = _pallas_selectn(
                 tuple(sources), src_idx, k_idx, interpret=interpret,
-                strategy=_rot90_strategy(),
+                strategy=_rot90_strategy(), bt=_pair_batch(),
             )
             return jnp.moveaxis(out, 1, -1)
         # exact mode: static-tap warped residual sources through the same
@@ -872,7 +968,7 @@ def pallas_rotate_select(
         ]
         out = _pallas_selectn(
             tuple(sources), src_idx, k_idx, interpret=interpret,
-            strategy=_rot90_strategy(),
+            strategy=_rot90_strategy(), bt=_pair_batch(),
         )
         return jnp.moveaxis(out, 1, -1)
     sources = jnp.moveaxis(x, -1, 1)[None]  # (1, B, C, H, W)

@@ -316,3 +316,29 @@ def test_nhwc_interleaved_matches_nchw_kernel():
             x, idx, 8, -1.0, "border", interpret=True, mode=mode
         )
         assert bool((a == b).all()), mode
+
+
+def test_selectn_grouped_bitexact_vs_per_sample():
+    """bt=2 grouped steering == bt=1 per-sample steering, bit-for-bit.
+
+    The group fetches every source any of its samples uses; the in-kernel
+    per-sample select/rot90 algebra is unchanged, so values must match
+    exactly (round-4 pairing win, EQUIADAPT_SELECT_PAIR)."""
+    import numpy as np
+
+    from equiadapt_tpu.ops.pallas.select_warp import _pallas_selectn
+
+    rng = np.random.default_rng(11)
+    B, C, H, W = 8, 3, 16, 16
+    s0 = jnp.asarray(rng.normal(size=(B, C, H, W)).astype(np.float32))
+    s1 = jnp.asarray(rng.normal(size=(B, C, H, W)).astype(np.float32))
+    src = jnp.asarray(rng.integers(0, 2, size=(B,)).astype(np.int32))
+    k = jnp.asarray(rng.integers(0, 4, size=(B,)).astype(np.int32))
+    a = _pallas_selectn((s0, s1), src, k, interpret=True, bt=1)
+    b = _pallas_selectn((s0, s1), src, k, interpret=True, bt=2)
+    assert bool((a == b).all())
+    # odd batch: bt falls back to 1 (shape guard), still correct
+    c = _pallas_selectn(
+        (s0[:7], s1[:7]), src[:7], k[:7], interpret=True, bt=2
+    )
+    assert bool((a[:7] == c).all())
