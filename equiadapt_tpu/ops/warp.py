@@ -71,6 +71,101 @@ def group_angles(num_rotations: int, dtype=jnp.float32) -> Array:
     return jnp.linspace(0.0, 360.0, num_rotations + 1, dtype=dtype)[:num_rotations]
 
 
+def _bilinear_sample_slab(
+    x: Array, src_x: Array, src_y: Array, padding_mode: str = "zeros"
+) -> Array:
+    """`bilinear_sample` via two (2·C)-wide slice gathers instead of four
+    per-tap row gathers — bit-identical values, ~2x less gather work.
+
+    The 4 bilinear taps of one destination pixel form two x-adjacent pairs
+    in consecutive operand rows (y0, x0..x0+1) and (y0+1, x0..x0+1). On the
+    flat (B·H·W·C,) view each pair is one contiguous 2·C-float run, so TWO
+    `lax.gather` sweeps with slice_sizes=(2·C,) move all four taps with
+    half the index count of the four-tap form (TPU gathers are index-rate
+    bound, not bandwidth bound — docs/benchmarking.md round-4 cost model).
+    The slice start is clipped to x0 <= W-2 / y0 <= H-2 and per-tap {0,1}
+    in-slice offsets re-derive the border-clipped tap exactly, with the
+    same weights and the same summation order as `bilinear_sample` —
+    outputs are bit-identical for both padding modes (asserted in
+    tests/test_warp.py and on hardware by bench.py's parity block).
+    """
+    B, H, W, C = x.shape
+    Ho, Wo = src_x.shape[1], src_x.shape[2]
+    N = B * Ho * Wo
+    cdt = jnp.promote_types(x.dtype, jnp.float32)
+    sx = src_x.astype(cdt)
+    sy = src_y.astype(cdt)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0).reshape(N)
+    fy = (sy - y0).reshape(N)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    x0c = jnp.clip(x0i, 0, W - 2)
+    y0c = jnp.clip(y0i, 0, H - 2)
+    # in-slice tap offsets: clip(t0+d, 0, size-1) - t0c, always in {0, 1}
+    a0 = (jnp.clip(y0i, 0, H - 1) - y0c).reshape(N)
+    a1 = (jnp.clip(y0i + 1, 0, H - 1) - y0c).reshape(N)
+    b0 = (jnp.clip(x0i, 0, W - 1) - x0c).reshape(N)
+    b1 = (jnp.clip(x0i + 1, 0, W - 1) - x0c).reshape(N)
+
+    xf = x.reshape(B * H * W * C).astype(cdt)
+    brow = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None]
+    # flat start of the 2C-float (2 x-taps x C) run; x0c <= W-2 keeps the
+    # run inside its image row
+    p00 = (((y0c * W + x0c) + brow) * C).reshape(N)
+
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+
+    def run2c(starts: Array) -> Array:  # (N,) -> (N, 2, C)
+        out = jax.lax.gather(
+            xf, starts[:, None], dn, slice_sizes=(2 * C,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+        return out.reshape(N, 2, C)
+
+    top = run2c(p00)            # taps (y0c, x0c), (y0c, x0c+1)
+    bot = run2c(p00 + W * C)    # taps (y0c+1, x0c), (y0c+1, x0c+1)
+
+    def pick(a_off: Array, b_off: Array) -> Array:  # -> (N, C)
+        rows = jnp.where(a_off[:, None, None] == 0, top, bot)  # (N, 2, C)
+        return jnp.where(b_off[:, None] == 0, rows[:, 0], rows[:, 1])
+
+    if padding_mode == "border":
+        w00 = (1.0 - fx) * (1.0 - fy)
+        w10 = fx * (1.0 - fy)
+        w01 = (1.0 - fx) * fy
+        w11 = fx * fy
+    elif padding_mode == "zeros":
+        x0n = x0i.reshape(N)
+        y0n = y0i.reshape(N)
+
+        def val(xi, yi):
+            return (
+                (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+            ).astype(cdt)
+
+        w00 = (1.0 - fx) * (1.0 - fy) * val(x0n, y0n)
+        w10 = fx * (1.0 - fy) * val(x0n + 1, y0n)
+        w01 = (1.0 - fx) * fy * val(x0n, y0n + 1)
+        w11 = fx * fy * val(x0n + 1, y0n + 1)
+    else:
+        raise ValueError(
+            f"padding_mode must be zeros or border, got {padding_mode}"
+        )
+
+    out = (
+        pick(a0, b0) * w00[:, None]
+        + pick(a0, b1) * w10[:, None]
+        + pick(a1, b0) * w01[:, None]
+        + pick(a1, b1) * w11[:, None]
+    )
+    return out.reshape(B, Ho, Wo, C).astype(x.dtype)
+
+
 def bilinear_sample(
     x: Array, src_x: Array, src_y: Array, padding_mode: str = "zeros"
 ) -> Array:
@@ -86,6 +181,16 @@ def bilinear_sample(
     Returns:
         (B, Ho, Wo, C) sampled images.
     """
+    import os
+
+    if (
+        x.shape[1] >= 2
+        and x.shape[2] >= 2
+        and os.environ.get("EQUIADAPT_BILINEAR_GATHER", "slab") == "slab"
+    ):
+        # paired-slice gather: bit-identical, half the index traffic (the
+        # dominant cost of dynamic-coordinate warps on TPU)
+        return _bilinear_sample_slab(x, src_x, src_y, padding_mode)
     B, H, W, C = x.shape
     Ho, Wo = src_x.shape[1], src_x.shape[2]
     compute_dtype = jnp.promote_types(x.dtype, jnp.float32)

@@ -155,3 +155,54 @@ def test_hflip():
     np.testing.assert_allclose(
         np.asarray(hflip(x)), np.asarray(x)[:, :, ::-1, :], atol=0
     )
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_bilinear_slab_bitexact_vs_taps(padding_mode):
+    """The paired-slice gather form is bit-identical to the 4-tap form for
+    both padding modes, including far out-of-range coordinates (corner
+    clipping) and non-square/odd sizes."""
+    from equiadapt_tpu.ops.warp import _bilinear_sample_slab, bilinear_sample
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(3, 13, 17, 5)).astype(np.float32))
+    B, H, W, _ = x.shape
+    sx = jnp.asarray(rng.uniform(-6, W + 6, size=(B, 9, 11)).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-6, H + 6, size=(B, 9, 11)).astype(np.float32))
+    import os
+
+    os.environ["EQUIADAPT_BILINEAR_GATHER"] = "taps"
+    try:
+        ref = bilinear_sample(x, sx, sy, padding_mode=padding_mode)
+    finally:
+        del os.environ["EQUIADAPT_BILINEAR_GATHER"]
+    slab = _bilinear_sample_slab(x, sx, sy, padding_mode=padding_mode)
+    assert bool((ref == slab).all())
+
+
+def test_bilinear_slab_gradients_match():
+    """d/dx of the slab form matches the 4-tap form (exact-mode training
+    differentiates through bilinear_sample)."""
+    import jax
+
+    from equiadapt_tpu.ops.warp import _bilinear_sample_slab, bilinear_sample
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    sx = jnp.asarray(rng.uniform(-1, 8, size=(2, 8, 8)).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-1, 8, size=(2, 8, 8)).astype(np.float32))
+    import os
+
+    os.environ["EQUIADAPT_BILINEAR_GATHER"] = "taps"
+    try:
+        g_ref = jax.grad(
+            lambda xx: jnp.sum(bilinear_sample(xx, sx, sy, "border") ** 2)
+        )(x)
+    finally:
+        del os.environ["EQUIADAPT_BILINEAR_GATHER"]
+    g_slab = jax.grad(
+        lambda xx: jnp.sum(_bilinear_sample_slab(xx, sx, sy, "border") ** 2)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_ref), np.asarray(g_slab), rtol=1e-6, atol=1e-6
+    )
