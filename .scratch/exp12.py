@@ -1,0 +1,125 @@
+"""Select kernel reading pass2's natural (y, b, c, x) emission, zero copies."""
+import sys, time, functools
+import numpy as np
+import jax, jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+sys.path.insert(0, "/root/repo")
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from equiadapt_tpu.ops.pallas.select_warp import (
+    _pallas_selectn, _latest_used_blocks, _c_n_decomposition, _emit_rot90,
+)
+from equiadapt_tpu.ops.warp import _twopass_matrices
+
+B, H, W, C = 256, 224, 224, 3
+NUM_ROT = 8
+rng = np.random.default_rng(0)
+N_LOOP = 24
+
+
+def select_ybcx(xn, x45_flat, src_idx, k_idx, interpret=False):
+    """xn (B, C, H, W); x45_flat (H, B*C*W) [bitcast of (y,b,c,x)].
+    out (B, C, H, W)."""
+    blks = _latest_used_blocks(src_idx, 2)
+
+    def imap0(b, c, src_ref, k_ref, b0, b1):
+        used = src_ref[b] == 0
+        return (jnp.where(used, b, b0[b]), jnp.where(used, c, 0), 0, 0)
+
+    def imap1(b, c, src_ref, k_ref, b0, b1):
+        used = src_ref[b] == 1
+        col = jnp.where(used, b, b1[b]) * C + jnp.where(used, c, 0)
+        return (0, col)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, H, W), imap0),
+            pl.BlockSpec((H, W), imap1),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H, W), lambda b, c, *_: (b, c, 0, 0)),
+    )
+
+    def kernel(src_ref, k_ref, b0, b1, x0_ref, x1_ref, out_ref):
+        b = pl.program_id(0)
+        k = k_ref[b] % 4
+        plane = jnp.where(src_ref[b] == 1, x1_ref[...], x0_ref[0, 0])
+
+        def store(v):
+            out_ref[0, 0] = v
+
+        _emit_rot90(plane, k, store, H, W, xn.dtype, "mixed")
+
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), xn.dtype),
+        interpret=interpret,
+    )(src_idx.astype(jnp.int32), k_idx.astype(jnp.int32), *blks, xn, x45_flat)
+
+
+def pool2(a, eps=1e-6):
+    return jnp.stack([a, a + jnp.asarray(eps, a.dtype)])
+
+def pick(p, slot):
+    return lax.dynamic_index_in_dim(p, slot, axis=0, keepdims=False)
+
+def timed_ms(fn, *args, reps=3):
+    def run(seed, *a):
+        def body(it, s):
+            slot = (it + jnp.asarray(s * 0.0, jnp.int32)) % 2
+            return fn(*a, slot) * 1e-6 + s * 1e-30
+        return lax.fori_loop(0, N_LOOP, body, seed)
+    f = jax.jit(run)
+    s = f(jnp.float32(0.0), *args); float(s)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter(); s = f(s * 0.0, *args); float(s)
+        best = min(best, (time.perf_counter() - t0) / N_LOOP * 1e3)
+    return best
+
+x16 = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32)).astype(jnp.bfloat16)
+residues, src_of, k_of = _c_n_decomposition(NUM_ROT, -1.0)
+idx = jnp.asarray(rng.integers(0, NUM_ROT, size=(B,)).astype(np.int32))
+src_idx = jnp.asarray(src_of, jnp.int32)[idx]
+k_idx = jnp.asarray(k_of, jnp.int32)[idx]
+xp = pool2(x16)
+
+def tp45_ybcx(xx):
+    dt = xx.dtype
+    M1, M2 = _twopass_matrices(H, W, 45.0, "border", dt)
+    V = jnp.einsum("yhw,bhwc->ywbc", M1, xx, preferred_element_type=jnp.float32)
+    out = jnp.einsum("ywbc,ywx->ybcx", V.astype(dt), M2,
+                     preferred_element_type=jnp.float32).astype(dt)
+    return out.reshape(H, B * C * W)
+
+def tp45_bcyx(xx):
+    dt = xx.dtype
+    M1, M2 = _twopass_matrices(H, W, 45.0, "border", dt)
+    V = jnp.einsum("yhw,bhwc->ywbc", M1, xx, preferred_element_type=jnp.float32)
+    return jnp.einsum("ywx,ywbc->bcyx", M2, V.astype(dt),
+                      preferred_element_type=jnp.float32).astype(dt)
+
+def chain_new(xps, si, ki, slot):
+    xx = pick(xps, slot)
+    xn = jnp.moveaxis(xx, -1, 1)
+    out = select_ybcx(xn, tp45_ybcx(xx), si, ki)
+    return jnp.sum(out.astype(jnp.float32))
+
+def chain_cur(xps, si, ki, slot):
+    xx = pick(xps, slot)
+    xn = jnp.moveaxis(xx, -1, 1)
+    out = _pallas_selectn((xn, tp45_bcyx(xx)), si, ki, strategy="mixed")
+    return jnp.sum(out.astype(jnp.float32))
+
+print("chain current (d-form) ", timed_ms(chain_cur, xp, src_idx, k_idx))
+print("chain ybcx-flat        ", timed_ms(chain_new, xp, src_idx, k_idx))
+a = jax.jit(lambda xx: _pallas_selectn(
+    (jnp.moveaxis(xx, -1, 1), tp45_bcyx(xx)), src_idx, k_idx, strategy="mixed"))(x16)
+b_ = jax.jit(lambda xx: select_ybcx(
+    jnp.moveaxis(xx, -1, 1), tp45_ybcx(xx), src_idx, k_idx))(x16)
+print("new == current:", bool((a == b_).all()))

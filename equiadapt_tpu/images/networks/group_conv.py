@@ -5,7 +5,9 @@ TPU-native rebuild of the reference's custom group-equivariant layers
 custom_group_equivariant_layers.py:9,114,229,364). Differences by design:
 
 * NHWC / HWIO layouts; the whole |G| filter bank is materialized with one
-  batched `rotate` (per-element angles) and the convolution is a single
+  tiny tap-matrix einsum (the angle table is a trace-time constant, so
+  filter rotation is a precomputed linear map — no dynamic gathers; see
+  `_rotation_tap_matrix`) and the convolution is a single
   `lax.conv_general_dilated` over C*|G| channels — XLA tiles it onto the MXU.
   No per-element Python loops, no `device="cuda"` construction-time pinning
   (a reference wart, custom_group_equivariant_layers.py:30).
@@ -33,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from equiadapt_tpu.ops.warp import group_angles, rotate
+import functools
 
 Array = jnp.ndarray
 
@@ -92,20 +94,97 @@ def _fold_avg_pool(bank: Array) -> Array:
     return 0.25 * (p00 + p10 + p01 + p11)
 
 
-def _rotate_bank(w_img: Array, angles: Array) -> Array:
-    """Rotate a filter bank by per-element angles.
+@functools.lru_cache(maxsize=64)
+def _rotation_tap_matrix(K: int, angles: tuple) -> np.ndarray:
+    """(G, K*K, K*K) fp32 tap matrices: T[g] @ vec(w) == vec(rotate(w, g)).
+
+    Filter rotation with a *constant* angle table is a fixed linear map per
+    group element (kornia `rotate` semantics, zeros fill), so the taps are
+    precomputed on host and the whole bank transform becomes one tiny
+    einsum. The per-element dynamic-angle `rotate` this replaces lowered
+    its 4-tap gather to serialized XLA while-loops costing ~0.24 ms per
+    canonicalize step at C8 — pure weight-prep overhead (round-4 device-op
+    attribution, docs/benchmarking.md). Exact 90-degree multiples snap to
+    exact permutation taps (the fp32 cos(pi/2) epsilon of the dynamic path
+    leaked ~1e-8 of each filter into neighbor taps; the snap makes rot90
+    filter equivariance exact).
+    """
+    import math
+
+    G = len(angles)
+    c = (K - 1) / 2.0
+    gy, gx = np.meshgrid(
+        np.arange(K, dtype=np.float64), np.arange(K, dtype=np.float64),
+        indexing="ij",
+    )
+    dst = (gy.astype(np.int64) * K + gx.astype(np.int64)).ravel()
+    T = np.zeros((G, K * K, K * K), np.float32)
+    for g, ang in enumerate(angles):
+        ang = float(ang) % 360.0
+        k90 = ang / 90.0
+        if abs(k90 - round(k90)) < 1e-9:
+            rad = math.radians(90.0 * round(k90))
+            a, b = round(math.cos(rad)), round(math.sin(rad))
+        else:
+            rad = math.radians(ang)
+            a, b = math.cos(rad), math.sin(rad)
+        sx = a * (gx - c) - b * (gy - c) + c
+        sy = b * (gx - c) + a * (gy - c) + c
+        x0 = np.floor(sx)
+        y0 = np.floor(sy)
+        fx = sx - x0
+        fy = sy - y0
+        for ddx, ddy, w in (
+            (0, 0, (1 - fx) * (1 - fy)),
+            (1, 0, fx * (1 - fy)),
+            (0, 1, (1 - fx) * fy),
+            (1, 1, fx * fy),
+        ):
+            xi = x0 + ddx
+            yi = y0 + ddy
+            valid = (xi >= 0) & (xi <= K - 1) & (yi >= 0) & (yi <= K - 1)
+            xc = np.clip(xi, 0, K - 1).astype(np.int64)
+            yc = np.clip(yi, 0, K - 1).astype(np.int64)
+            np.add.at(
+                T[g], (dst, (yc * K + xc).ravel()),
+                (w * valid).ravel().astype(np.float32),
+            )
+    return T
+
+
+def _rotate_bank(w_img: Array, angles: tuple) -> Array:
+    """Rotate a filter bank by per-element *static* angles.
 
     Args:
-        w_img: (K, K, F) filters as one image.
-        angles: (G,) degrees.
+        w_img: (K, K, F) shared filters, or (G, K, K, F) per-element
+            filters (each rotated by its own angle).
+        angles: length-G tuple of degrees (host constants).
 
     Returns:
-        (G, K, K, F) rotated filters (bilinear, zeros fill, kornia
-        semantics — exact for 90-degree multiples).
+        (G, K, K, F) rotated filters (bilinear taps, zeros fill, kornia
+        semantics — exact permutations for 90-degree multiples).
     """
-    G = angles.shape[0]
-    tiled = jnp.broadcast_to(w_img[None], (G,) + w_img.shape)
-    return rotate(tiled, angles, padding_mode="zeros")
+    G = len(angles)
+    K = w_img.shape[-3]
+    T = jnp.asarray(_rotation_tap_matrix(K, tuple(float(a) for a in angles)))
+    T = T.astype(w_img.dtype)
+    if w_img.ndim == 3:
+        F = w_img.shape[-1]
+        out = jnp.einsum("gpq,qf->gpf", T, w_img.reshape(K * K, F))
+    else:
+        F = w_img.shape[-1]
+        out = jnp.einsum("gpq,gqf->gpf", T, w_img.reshape(G, K * K, F))
+    return out.reshape(G, K, K, F)
+
+
+def _angle_tuple(num_rotations: int) -> tuple:
+    """Host mirror of `group_angles` (same fp32 linspace values)."""
+    return tuple(
+        float(a)
+        for a in np.linspace(
+            0.0, 360.0, num_rotations + 1, dtype=np.float32
+        )[:num_rotations]
+    )
 
 
 class RotationEquivariantConvLift(nn.Module):
@@ -131,8 +210,7 @@ class RotationEquivariantConvLift(nn.Module):
     def __call__(self, x: Array) -> Array:
         K, Ci, Co, G = self.kernel_size, self.in_channels, self.out_channels, self.num_rotations
         w = self.param("weights", _kaiming_uniform, (K, K, Ci, Co))
-        angles = group_angles(G)
-        bank = _rotate_bank(w.reshape(K, K, Ci * Co), angles)  # (G,K,K,Ci*Co)
+        bank = _rotate_bank(w.reshape(K, K, Ci * Co), _angle_tuple(G))  # (G,K,K,Ci*Co)
         # -> HWIO with out channel index c*G + g
         bank = bank.reshape(G, K, K, Ci, Co).transpose(1, 2, 3, 4, 0).reshape(K, K, Ci, Co * G)
         stride = self.stride
@@ -172,8 +250,7 @@ class RotoReflectionEquivariantConvLift(nn.Module):
         K, Ci, Co, n = self.kernel_size, self.in_channels, self.out_channels, self.num_rotations
         G = 2 * n
         w = self.param("weights", _kaiming_uniform, (K, K, Ci, Co))
-        angles = group_angles(n)
-        rot = _rotate_bank(w.reshape(K, K, Ci * Co), angles)  # (n,K,K,Ci*Co)
+        rot = _rotate_bank(w.reshape(K, K, Ci * Co), _angle_tuple(n))  # (n,K,K,Ci*Co)
         ref = rot[:, :, ::-1, :]  # hflip on the width axis
         bank = jnp.concatenate([rot, ref], axis=0)  # (G,K,K,Ci*Co)
         bank = bank.reshape(G, K, K, Ci, Co).transpose(1, 2, 3, 4, 0).reshape(K, K, Ci, Co * G)
@@ -231,7 +308,7 @@ class RotationEquivariantConv(nn.Module):
         # permuted[j] = w[..., (k-j)%n, :] then rotate by theta_j
         wp = jnp.take(w, perm, axis=3)  # (K,K,Ci,n_out,n_in,Co)
         wp = wp.transpose(3, 0, 1, 2, 4, 5).reshape(n, K, K, Ci * n * Co)
-        bank = rotate(wp, group_angles(n), padding_mode="zeros")
+        bank = _rotate_bank(wp, _angle_tuple(n))
         # (n_out,K,K,Ci,n_in,Co) -> HWIO (K,K,Ci*n_in, Co*n_out)
         bank = bank.reshape(n, K, K, Ci, n, Co).transpose(1, 2, 3, 4, 5, 0)
         bank = bank.reshape(K, K, Ci * n, Co * n)
@@ -268,8 +345,7 @@ class RotoReflectionEquivariantConv(nn.Module):
         perm = jnp.asarray(_dihedral_perm_indices(n))  # (G_out, G_in)
         wp = jnp.take(w, perm, axis=3)  # (K,K,Ci,G_out,G_in,Co)
         wp = wp.transpose(3, 0, 1, 2, 4, 5).reshape(G, K, K, Ci * G * Co)
-        angles = jnp.concatenate([group_angles(n), group_angles(n)])
-        bank = rotate(wp, angles, padding_mode="zeros")
+        bank = _rotate_bank(wp, _angle_tuple(n) + _angle_tuple(n))
         # hflip the filters of the reflection outputs
         bank = jnp.concatenate([bank[:n], bank[n:, :, ::-1, :]], axis=0)
         bank = bank.reshape(G, K, K, Ci, G, Co).transpose(1, 2, 3, 4, 5, 0)
