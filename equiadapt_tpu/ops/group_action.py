@@ -276,6 +276,10 @@ def get_action_on_image_features(
             and num_group in (num_rotations, 2 * num_rotations)
             and (reflection is None) == (num_group == num_rotations)
             and jax.default_backend() == "tpu"
+            # pallas grids tile on the batch: under shape-polymorphic
+            # export the batch dim is symbolic, so the invert falls back
+            # to the XLA blend + fiber-roll path (traces polymorphically)
+            and isinstance(B, int)
             and H == W
             and len(_c_n_decomposition(num_rotations, 1.0)[0]) <= 4
         )

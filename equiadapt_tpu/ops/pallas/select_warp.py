@@ -989,6 +989,13 @@ def _blend_ref(x: Array, idx: Array, num_rotations: int, sign: float, padding_mo
 def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode, mode):
     on_tpu_square = (
         jax.default_backend() == "tpu"
+        # the kernels tile their grid on the batch, so the batch dim must
+        # be concrete; under shape-polymorphic export (utils/export.py
+        # symbolic_batch=True) it is a symbolic expression and the select
+        # falls back to the XLA blend formulations, which trace
+        # polymorphically — fast-mode serving graphs now export at any
+        # batch size
+        and isinstance(x.shape[0], int)
         and x.shape[1] == x.shape[2]
         and len(_c_n_decomposition(num_rotations, sign)[0]) <= 4
     )

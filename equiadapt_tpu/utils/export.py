@@ -58,8 +58,13 @@ def export_apply(
             symbolic dimension ``b`` (shape polymorphism), so one artifact
             serves any batch size. Every leaf must carry the batch on
             axis 0. Paths that hand-tile on the batch (the pallas select
-            kernels used by ``warp_mode="fast"``) need concrete grids —
-            export those at fixed batch instead.
+            kernels used by ``warp_mode="fast"``) need concrete grids;
+            their dispatchers detect the symbolic batch and fall back to
+            the XLA blend formulations (bit-compatible at 90-degree
+            elements, two-pass numerics otherwise — the same fallback
+            non-TPU backends use), so fast-mode serving closures export
+            polymorphically too. Export at fixed batch when the pallas
+            kernels themselves must be in the artifact.
 
     Returns:
         Serialized bytes (StableHLO + calling-convention metadata).
