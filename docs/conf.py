@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.abspath(".."))
 project = "equiadapt-tpu"
 author = "equiadapt-tpu contributors"
 copyright = "2026, equiadapt-tpu contributors"
-release = "0.3.0"
+release = "0.4.0"
 version = release
 
 extensions = [

@@ -66,4 +66,4 @@ from equiadapt_tpu.pointcloud import (
 # (equiadapt/__init__.py exports `get_graph_feature_cross`)
 get_graph_feature_cross = graph_feature_cross
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
