@@ -10,6 +10,11 @@ Flat re-exports mirror the reference's `equiadapt/__init__.py` so users can
 map names 1:1.
 """
 
+from equiadapt_tpu.kernel_options import (
+    KernelOptions,
+    current_kernel_options,
+    kernel_options,
+)
 from equiadapt_tpu.common import (
     BaseCanonicalization,
     ContinuousCanonicalizationInfo,

@@ -155,14 +155,14 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
         Returns None when the preconditions don't hold (training,
         non-square, targets, CPU backend, or no NCHW energy hook).
         """
-        import os
-
+        from equiadapt_tpu.kernel_options import current_kernel_options
         from equiadapt_tpu.ops.pallas.select_warp import (
             _c_n_decomposition,
             rotate_select_nchw,
         )
 
-        # EQUIADAPT_NCHW_SPINE: "never" (default since round 4 — the
+        opts = current_kernel_options()
+        # nchw_spine: "never" (default since round 4 — the
         # hybrid arrangement in `canonicalize`'s generic path, where the
         # energy and the residual two-pass read the NHWC bf16 cast and
         # only the select kernel's sources are NCHW, measures 7.4%
@@ -172,11 +172,14 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
         # "auto" (enable on TPU), or "interpret" (force the branch
         # through the interpret-mode kernel — lets the CPU test suite
         # drive this path end-to-end)
-        spine = os.environ.get("EQUIADAPT_NCHW_SPINE", "never")
+        spine = opts.nchw_spine
         interpret = spine == "interpret"
         if (
             training
             or spine == "never"
+            or not isinstance(x.shape[0], int)  # symbolic-batch export:
+            # rotate_select_nchw calls the pallas kernel unconditionally;
+            # fall back to the generic path, whose dispatchers are gated
             or x.shape[1] != x.shape[2]
             or (jax.default_backend() != "tpu" and not interpret)
             or len(_c_n_decomposition(self.num_rotations, -1.0)[0]) > 4
@@ -185,7 +188,7 @@ class DiscreteGroupImageCanonicalization(BaseCanonicalization):
         in_dtype = x.dtype
         dt = self.compute_dtype or x.dtype
         x_nchw = jnp.moveaxis(x, -1, 1).astype(dt)
-        if os.environ.get("EQUIADAPT_SPINE_BARRIER", "auto") != "never":
+        if opts.spine_barrier != "never":
             # Materialize the cast+transpose ONCE: without the barrier XLA
             # forks the input for its divergent consumers (energy resize,
             # residual two-pass GEMM, select kernel), emitting a second

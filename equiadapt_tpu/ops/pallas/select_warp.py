@@ -49,11 +49,11 @@ def _rot90_strategy() -> str:
     proven fallback (fp32 payloads always take this path).
 
     Read OUTSIDE the jitted kernels and threaded as a static argument, so
-    flipping the env var cannot hit a stale jit cache.
+    flipping the option cannot hit a stale jit cache.
     """
-    import os
+    from equiadapt_tpu.kernel_options import current_kernel_options
 
-    return os.environ.get("EQUIADAPT_ROT90_STRATEGY", "mixed")
+    return current_kernel_options().rot90_strategy
 
 
 def _emit_rot90(plane, k, out_store, H: int, W: int, dt, strategy: str = "fp32"):
@@ -224,12 +224,9 @@ def _pair_batch() -> int:
     traffic is cheaper than the saved issue overhead). Set to 1 to restore
     per-sample steering. Read OUTSIDE jit and passed statically.
     """
-    import os
+    from equiadapt_tpu.kernel_options import current_kernel_options
 
-    try:
-        return max(1, int(os.environ.get("EQUIADAPT_SELECT_PAIR", "2")))
-    except ValueError:
-        return 2
+    return max(1, current_kernel_options().select_pair)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "strategy", "bt"))
@@ -1006,12 +1003,12 @@ def _rotate_select_impl(x, idx, num_rotations, sign, padding_mode, mode):
     # NCHW kernel on hardware (round-4 A/B: the NCHW-spine arrangement
     # still wins at C=3/224px). Wide fibers (regular reps, C=16+) always
     # keep the NCHW kernel — the interleave algebra scales with C^2.
-    import os
+    from equiadapt_tpu.kernel_options import current_kernel_options
 
     use_ilv = (
         on_tpu_square
         and x.shape[-1] <= 4
-        and os.environ.get("EQUIADAPT_SELECT_LAYOUT", "nchw") == "nhwc"
+        and current_kernel_options().select_layout == "nhwc"
     )
     if mode == "fast":
         # round-3 crossover (loop-amortized measurement, docs/

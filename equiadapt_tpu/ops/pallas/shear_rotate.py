@@ -390,7 +390,13 @@ def warp_rotate_center_fast(
     k = jnp.round(phi / (jnp.pi / 2.0)).astype(jnp.int32)
     r = phi - k.astype(jnp.float32) * (jnp.pi / 2.0)
     k = jnp.mod(k, 4)
-    if jax.default_backend() == "tpu" or interpret:
+    # pallas grids need a concrete batch dim: symbolic-batch export falls
+    # back to the blend + dynamic-warp branch (same gate as the discrete
+    # select dispatchers, select_warp.py)
+    use_pallas = (
+        jax.default_backend() == "tpu" and isinstance(B, int)
+    ) or interpret
+    if use_pallas:
         # steered single-pass quarter turn (one read + one write per
         # sample) instead of the 4-candidate blend of padded copies
         z = pallas_rot90_centered_select(
@@ -403,7 +409,7 @@ def warp_rotate_center_fast(
             cand = _rot90_centered(x, j, cx, cy, padding_mode)
             term = cand * oh[:, j][:, None, None, None]
             z = term if z is None else z + term
-    if jax.default_backend() != "tpu" and not interpret:
+    if not use_pallas:
         # exact fallback path off-TPU: residual via the dynamic warp
         from equiadapt_tpu.ops.warp import bilinear_sample
 

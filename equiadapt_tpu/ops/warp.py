@@ -181,15 +181,19 @@ def bilinear_sample(
     Returns:
         (B, Ho, Wo, C) sampled images.
     """
-    import os
+    from equiadapt_tpu.kernel_options import current_kernel_options
 
     if (
         x.shape[1] >= 2
         and x.shape[2] >= 2
-        and os.environ.get("EQUIADAPT_BILINEAR_GATHER", "slab") == "slab"
+        and current_kernel_options().bilinear_gather == "slab"
     ):
-        # paired-slice gather: bit-identical, half the index traffic (the
-        # dominant cost of dynamic-coordinate warps on TPU)
+        # paired-slice gather: bit-identical to the taps form in isolation,
+        # half the index traffic — but OPT-IN only: with the round-4 "slab"
+        # default the fused continuous-exact canonicalize graph (energy net
+        # + this warp) hung/faulted the TPU worker at 256x224px
+        # (BENCH_r04.json rc=1; standalone slab runs fine, so the fault
+        # needs the fused graph). "taps" is the validated default.
         return _bilinear_sample_slab(x, src_x, src_y, padding_mode)
     B, H, W, C = x.shape
     Ho, Wo = src_x.shape[1], src_x.shape[2]
