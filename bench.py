@@ -484,7 +484,13 @@ def bench_jax() -> dict:
     # state, tunnel load) cancels within a pair. The reported CI is the
     # half-spread of the per-pair differences (VERDICT round-2 item:
     # a <5% claim needs CI well under 0.3 ms to be meaningful).
-    def paired_overhead(bare_fn, bare_args, wr_fn, wr_args, pairs=4):
+    def paired_overhead(bare_fn, bare_args, wr_fn, wr_args, pairs=10):
+        # Round-4 verdict: a rerun saw +-5.24 ms spread at 4 pairs under
+        # host contention, making a <5% claim unreadable. Hardened: 10
+        # interleaved pairs, median of the per-pair differences, CI =
+        # half-spread of the middle 6 diffs (trims the 2 best/worst pairs
+        # — transient tunnel/runtime spikes hit a whole pair, which the
+        # pairing cancels only when the spike spans both legs).
         diffs, bares, wraps = [], [], []
         timed_ms(bare_fn, *bare_args, reps=1)  # warm both programs
         timed_ms(wr_fn, *wr_args, reps=1)
@@ -495,8 +501,14 @@ def bench_jax() -> dict:
             wraps.append(tw)
             diffs.append(tw - tb)
         diffs_s = sorted(diffs)
-        med = diffs_s[len(diffs_s) // 2]
-        ci = (max(diffs) - min(diffs)) / 2.0
+        n = len(diffs_s)
+        med = (
+            diffs_s[n // 2]
+            if n % 2
+            else 0.5 * (diffs_s[n // 2 - 1] + diffs_s[n // 2])
+        )
+        trim = diffs_s[2:-2] if n >= 7 else diffs_s
+        ci = (trim[-1] - trim[0]) / 2.0
         return min(bares), min(wraps), med, ci
 
     b32, w32, d32, ci32 = paired_overhead(
@@ -580,18 +592,19 @@ def bench_jax() -> dict:
             step = make_train_step({"prior_weight": 100.0}, jit=False)
             flops = None
             if want_flops:
-                # XLA's own HLO flop count for ONE step (pre-compile cost
-                # analysis of the lowered module — no extra device compile)
+                # analytic matmul+conv flops by jaxpr traversal — XLA's
+                # cost_analysis() returns no usable "flops" entry on this
+                # backend (round-4 verdict item 4: the MFU fields shipped
+                # null). Host-side trace only, no device compile.
                 try:
-                    lowered = jax.jit(step).lower(
-                        state, {"image": x[:bt], "label": labels},
+                    from equiadapt_tpu.utils.flops import count_flops
+
+                    flops = count_flops(
+                        step, state, {"image": x[:bt], "label": labels},
                         jax.random.key(0),
-                    )
-                    ca = lowered.cost_analysis()
-                    if isinstance(ca, (list, tuple)):
-                        ca = ca[0]
-                    flops = float(ca.get("flops", 0.0)) or None
-                except Exception:
+                    ) or None
+                except Exception as e:
+                    print(f"train flop count failed: {e}", file=sys.stderr)
                     flops = None
 
             def run(st, xps, yy):
@@ -630,21 +643,26 @@ def bench_jax() -> dict:
             )
         else:
             out["train_mfu_pct"] = None
-    # eval-forward MFU from the bare ResNet-50 bf16 forward measurement
+    # eval-forward MFU from the bare ResNet-50 bf16 forward measurement;
+    # analytic flop count (see utils/flops.py) sanity-anchored against the
+    # published ResNet-50 number (~4.1 GFLOP/img at 224px)
     try:
-        lowered = jax.jit(
-            lambda p, xx: resnet_bf16.apply(p, xx, training=False)
-        ).lower(res_params_bf16, x)
-        ca = lowered.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        ev_flops = float(ca.get("flops", 0.0)) or None
+        from equiadapt_tpu.utils.flops import count_flops, resnet50_eval_flops
+
+        ev_flops = count_flops(
+            lambda p, xx: resnet_bf16.apply(p, xx, training=False),
+            res_params_bf16, x,
+        )
+        anchor = resnet50_eval_flops(BATCH_TPU, IMAGE)
+        out["eval_flops_per_step"] = ev_flops
+        out["eval_flops_vs_anchor"] = ev_flops / anchor
         pk = _peak_bf16_flops()
         out["eval_mfu_pct"] = (
             100.0 * ev_flops / (out["bare_bf16_ms"] * 1e-3) / pk
             if ev_flops and pk else None
         )
-    except Exception:
+    except Exception as e:
+        print(f"eval flop count failed: {e}", file=sys.stderr)
         out["eval_mfu_pct"] = None
     return out
 
@@ -776,7 +794,191 @@ def _backend_watchdog(timeout_s: float = 900.0):
     return disarm
 
 
+def smoke() -> int:
+    """Full-path hardware smoke: one real canonicalize pass per
+    {family x warp_mode x kernel-path knob} on the attached backend.
+
+    Round-4 postmortem invariant (VERDICT item 1): every kernel-path
+    default flip must pass a fused full-path smoke on hardware before the
+    round ends — the round-4 fault only reproduced in the fused
+    energy-net+warp graph, which standalone-op tests never exercise.
+    Prints one JSON line {"smoke": true, "ok": ..., "results": ...};
+    exit code 0 iff every combination ran.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    from equiadapt_tpu.images import (
+        EquivariantNetwork,
+        GroupEquivariantImageCanonicalization,
+        OptimizedGroupEquivariantImageCanonicalization,
+    )
+    from equiadapt_tpu.images.canonicalization.continuous_group import (
+        SteerableImageCanonicalization,
+    )
+    from equiadapt_tpu.images.networks.conv import ConvNetwork
+    from equiadapt_tpu.images.networks.steerable import SteerableNetwork
+    from equiadapt_tpu.kernel_options import kernel_options
+
+    B = 64
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, IMAGE, IMAGE, 3)).astype(np.float32))
+    small = x[:2]
+
+    net = EquivariantNetwork(
+        in_channels=3, out_channels=8, kernel_size=3, group_type="rotation",
+        num_rotations=NUM_ROT, num_layers=2,
+    )
+    st_net = SteerableNetwork(in_channels=3, out_channels=4, kernel_size=5,
+                              num_layers=1)
+
+    def disc(mode):
+        return GroupEquivariantImageCanonicalization(
+            canonicalization_network=net, in_shape=(IMAGE, IMAGE, 3),
+            input_crop_ratio=CROP_RATIO, resize_shape=RESIZE,
+            num_rotations=NUM_ROT, group_type="rotation", warp_mode=mode,
+            compute_dtype=jnp.bfloat16 if mode == "fast" else None,
+        )
+
+    def steer(mode):
+        return SteerableImageCanonicalization(
+            canonicalization_network=st_net, in_shape=(IMAGE, IMAGE, 3),
+            input_crop_ratio=CROP_RATIO, resize_shape=RESIZE, warp_mode=mode,
+            compute_dtype=jnp.bfloat16 if mode == "fast" else None,
+        )
+
+    opt = OptimizedGroupEquivariantImageCanonicalization(
+        canonicalization_network=ConvNetwork(
+            in_channels=3, out_channels=32, kernel_size=3, num_layers=2,
+            out_vector_size=128,
+        ),
+        in_shape=(96, 96, 3), num_rotations=NUM_ROT,
+        group_type="roto-reflection", input_crop_ratio=0.9,
+        resize_shape=RESIZE, warp_mode="fast", compute_dtype=jnp.bfloat16,
+    )
+    x96 = jnp.asarray(rng.normal(size=(B, 96, 96, 3)).astype(np.float32))
+
+    dp = jax.jit(lambda k, s: disc("exact").init(k, s, training=False))(
+        jax.random.key(0), small
+    )
+    sp = jax.jit(lambda k, s: steer("exact").init(k, s, training=False))(
+        jax.random.key(1), small
+    )
+    op = jax.jit(lambda k, s: opt.init(k, s, training=False))(
+        jax.random.key(2), x96[:2]
+    )
+
+    combos = [
+        ("discrete_fast", disc("fast"), dp, x, {}),
+        ("discrete_exact", disc("exact"), dp, x, {}),
+        ("discrete_fast_nchw_spine", disc("fast"), dp, x,
+         {"nchw_spine": "auto"}),
+        ("continuous_fast", steer("fast"), sp, x, {}),
+        ("continuous_exact_taps", steer("exact"), sp, x,
+         {"bilinear_gather": "taps"}),
+        ("continuous_exact_slab", steer("exact"), sp, x,
+         {"bilinear_gather": "slab"}),
+        ("continuous_exact_xla", steer("exact"), sp, x,
+         {"exact_warp": "xla"}),
+        ("opt_orbit_d8", opt, op, x96, {}),
+    ]
+    results = {}
+    ok = True
+    for name, canon, params, xx, opts in combos:
+        try:
+            with kernel_options(**opts):
+                f = jax.jit(
+                    lambda p, a, c=canon: jnp.sum(
+                        c.apply(p, a, training=False)[0].astype(jnp.float32)
+                    )
+                )
+                t0 = time.perf_counter()
+                v = float(f(params, xx))
+                dt_compile = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(f(params, xx))
+                ms = (time.perf_counter() - t0) * 1e3
+            if not np.isfinite(v):
+                raise ValueError(f"non-finite output sum {v}")
+            results[name] = {"ok": True, "ms": round(ms, 2),
+                             "compile_s": round(dt_compile, 1)}
+        except Exception as e:
+            ok = False
+            results[name] = {"ok": False, "error": str(e).split("\n")[0][:200]}
+        print(f"smoke {name}: {results[name]}", file=sys.stderr, flush=True)
+    print(json.dumps({"smoke": True, "ok": ok, "backend":
+                      jax.default_backend(), "results": results}))
+    return 0 if ok else 1
+
+
+def _previous_bench():
+    """Latest BENCH_r*.json with a parsed (rc==0) payload, for the
+    regression tripwire."""
+    import glob
+
+    best = None
+    for path in sorted(glob.glob("/root/repo/BENCH_r*.json")):
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+            if d.get("parsed"):
+                best = (path, d["parsed"])
+        except Exception:
+            continue
+    return best
+
+
+_HIGHER_BETTER = (
+    "value", "throughput_exact_mode", "opt_d8_orbit_canonicalize_img_s",
+    "pointcloud_canonicalize_clouds_s",
+    "pointcloud_canonicalize_clouds_s_fused_knn",
+    "nbody_canonicalize_graphs_s", "train_img_s_bf16_fast",
+)
+_LOWER_BETTER = (
+    "wrapper_overhead_pct", "wrapper_overhead_pct_c4",
+    "wrapper_overhead_pct_fp32_exact", "continuous_canonicalize_fast_ms",
+    "continuous_canonicalize_exact_ms", "train_step_bf16_fast_ms",
+)
+
+
+def _regressions(current: dict, tol: float = 0.05):
+    """>tol relative drops vs the last successful BENCH artifact
+    (round-4 verdict item 9: nbody drifted -9% unnoticed)."""
+    prev = _previous_bench()
+    if prev is None:
+        return {"baseline": None, "flagged": []}
+    path, ref = prev
+    flagged = []
+    for key in _HIGHER_BETTER + _LOWER_BETTER:
+        a, b = ref.get(key), current.get(key)
+        if not (
+            isinstance(a, (int, float)) and isinstance(b, (int, float)) and a
+        ):
+            continue
+        rel = (b - a) / abs(a)
+        worse = rel < -tol if key in _HIGHER_BETTER else rel > tol
+        if worse:
+            flagged.append(
+                {"metric": key, "prev": a, "now": b,
+                 "change_pct": round(100.0 * rel, 1)}
+            )
+    return {"baseline": path.rsplit("/", 1)[-1], "flagged": flagged}
+
+
 def main() -> None:
+    if "--smoke" in sys.argv:
+        disarm = _backend_watchdog()
+        import jax
+
+        jax.devices()
+        disarm()
+        sys.exit(smoke())
     disarm = _backend_watchdog()
     import jax
 
@@ -790,8 +992,7 @@ def main() -> None:
         torch_ips = float("nan")
     jax_ips = m["tput_fast_img_s"]
     vs = jax_ips / torch_ips if torch_ips == torch_ips else None
-    print(
-        json.dumps(
+    payload = (
             {
                 "metric": "canonicalize+invert images/sec/chip @224px C8",
                 "value": round(jax_ips, 2),
@@ -867,8 +1068,9 @@ def main() -> None:
                     512.0 / m["nbody_canon_ms"] * 1e3, 1
                 ),
             }
-        )
     )
+    payload["regressions"] = _regressions(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
