@@ -57,6 +57,33 @@ def _transpose_trick(R: Array) -> Array:
     return R * flip
 
 
+def _exact_warp(x: Array, R: Array, padding_mode: str, training: bool) -> Array:
+    """Exact-mode warp dispatch (KernelOptions.exact_warp).
+
+    Eval on TPU with a concrete batch runs the in-VMEM pallas kernel
+    (ops/pallas/bilinear_warp.py — same 4-tap bilinear numerics, ~10x
+    faster than the XLA dynamic gather); training keeps the XLA warp so
+    gradients flow through the sample coordinates (reference parity,
+    kornia warp_affine autodiff at continuous_group.py:207).
+    """
+    if (
+        not training
+        and isinstance(x.shape[0], int)  # symbolic-batch export falls back
+        and jax.default_backend() == "tpu"
+    ):
+        from equiadapt_tpu.kernel_options import current_kernel_options
+
+        if current_kernel_options().exact_warp == "pallas":
+            from equiadapt_tpu.ops.pallas.bilinear_warp import (
+                warp_rotate_center_exact,
+            )
+
+            y = warp_rotate_center_exact(x, R, padding_mode)
+            if y is not None:  # None: no efficient tiling for this shape
+                return y
+    return _warp_center_affine(x, R, padding_mode)
+
+
 def _warp_center_affine(x: Array, R: Array, padding_mode: str) -> Array:
     """Warp with forward map dst = R (src - c) + c, c = (H//2, W//2).
 
@@ -190,7 +217,7 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
 
                 x = warp_rotate_center_fast(x, R_inv, self.padding_mode)
         else:
-            x = _warp_center_affine(x, R_inv, self.padding_mode)
+            x = _exact_warp(x, R_inv, self.padding_mode, training)
         if self.output_dtype != "compute":
             x = x.astype(in_dtype)
         info = ContinuousCanonicalizationInfo(
@@ -233,8 +260,9 @@ class ContinuousGroupImageCanonicalization(BaseCanonicalization):
                         x_canonicalized_out, info.element.rotation, "zeros"
                     )
             else:
-                y = _warp_center_affine(
-                    x_canonicalized_out, info.element.rotation, "zeros"
+                y = _exact_warp(
+                    x_canonicalized_out, info.element.rotation, "zeros",
+                    training,
                 )
             if info.element.reflection is not None:
                 r = info.element.reflection[:, None, None, None]

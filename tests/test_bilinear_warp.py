@@ -1,0 +1,126 @@
+"""Exact-mode pallas bilinear warp (ops/pallas/bilinear_warp.py).
+
+The kernel must reproduce `_warp_center_affine` — the XLA taps-form direct
+4-tap bilinear warp that carries torch/kornia parity (reference
+continuous_group.py:191-208) — to fp32-matmul tolerance, for every padding
+mode, channel count, tiling regime (windowed / full-width lanes, sliced /
+full-height band, power-of-two and odd tile factors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from equiadapt_tpu.images.canonicalization.continuous_group import (
+    _warp_center_affine,
+)
+from equiadapt_tpu.ops.pallas.bilinear_warp import (
+    exact_warp_tiling,
+    warp_rotate_center_exact,
+)
+
+
+def _rotations(angles):
+    th = np.asarray(angles, np.float32)
+    return jnp.asarray(
+        np.stack(
+            [
+                np.stack([np.cos(th), -np.sin(th)], -1),
+                np.stack([np.sin(th), np.cos(th)], -1),
+            ],
+            -2,
+        )
+    )
+
+
+# shapes cover: full-height band (28, 32), sliced band (64+), lane window
+# active (160 C=1: WIN 128 < 160), window inactive (64*3 < WIN), odd tile
+# factor TW=14 (28px), non-square
+@pytest.mark.parametrize(
+    "H,W,C",
+    [(32, 32, 1), (28, 28, 3), (64, 64, 3), (160, 160, 1), (32, 64, 2)],
+)
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_matches_xla_taps_form(H, W, C, padding_mode):
+    rng = np.random.default_rng(0)
+    xg = rng.normal(size=(5, H, W, C)).astype(np.float32)
+    # arbitrary angles + exact quarter-turns (tap weights degenerate to 0/1)
+    R = _rotations([0.0, np.pi / 2, np.pi, 0.7, 2.5])
+    # image-range data at the parity budget; unit-Gaussian data a touch
+    # looser (summation-order fp32 rounding scales with operand magnitude)
+    for x, atol in ((jnp.asarray(1 / (1 + np.exp(-xg))), 1e-5),
+                    (jnp.asarray(xg), 5e-5)):
+        ref = _warp_center_affine(x, R, padding_mode)
+        got = warp_rotate_center_exact(x, R, padding_mode, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=atol
+        )
+
+
+def test_bf16_input_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    R = _rotations([0.3, 1.9, 4.0])
+    ref = _warp_center_affine(x.astype(jnp.bfloat16), R, "border")
+    got = warp_rotate_center_exact(
+        x.astype(jnp.bfloat16), R, "border", interpret=True
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=0.02, atol=0.02,
+    )
+
+
+def test_rotoreflection_factored_matrix():
+    # the canonicalizer applies reflections as a separate hflip; the warp
+    # only ever sees pure rotations — but the inverse-coefficient algebra
+    # must also hold for det=-1 orthogonal matrices (defensive)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    th = np.asarray([0.4, 2.2], np.float32)
+    R = np.stack(
+        [
+            np.stack([np.cos(th), np.sin(th)], -1),
+            np.stack([np.sin(th), -np.cos(th)], -1),
+        ],
+        -2,
+    ).astype(np.float32)
+    R = jnp.asarray(R)
+    ref = _warp_center_affine(x, R, "border")
+    got = warp_rotate_center_exact(x, R, "border", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tiling_degenerate_shapes():
+    assert exact_warp_tiling(1, 64) is None
+    assert exact_warp_tiling(64, 1) is None
+    assert exact_warp_tiling(224, 224) is not None
+    rb, tw, band = exact_warp_tiling(224, 224)
+    assert 224 % rb == 0 and 224 % tw == 0
+    assert band >= tw + rb + 2
+
+
+def test_dispatch_xla_fallback_off_tpu():
+    # off-TPU the dispatch must route to the XLA warp regardless of the
+    # exact_warp option; same numerics either way
+    from equiadapt_tpu.images.canonicalization.continuous_group import (
+        _exact_warp,
+    )
+    from equiadapt_tpu.kernel_options import kernel_options
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    R = _rotations([0.5, 1.0])
+    ref = _warp_center_affine(x, R, "border")
+    with kernel_options(exact_warp="pallas"):
+        got = _exact_warp(x, R, "border", training=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    with kernel_options(exact_warp="xla"):
+        got = _exact_warp(x, R, "border", training=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
