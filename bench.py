@@ -880,12 +880,12 @@ def smoke() -> int:
         ("discrete_fast_nchw_spine", disc("fast"), dp, x,
          {"nchw_spine": "auto"}),
         ("continuous_fast", steer("fast"), sp, x, {}),
+        ("continuous_exact_pallas", steer("exact"), sp, x,
+         {"exact_warp": "pallas"}),
         ("continuous_exact_taps", steer("exact"), sp, x,
-         {"bilinear_gather": "taps"}),
+         {"exact_warp": "xla", "bilinear_gather": "taps"}),
         ("continuous_exact_slab", steer("exact"), sp, x,
-         {"bilinear_gather": "slab"}),
-        ("continuous_exact_xla", steer("exact"), sp, x,
-         {"exact_warp": "xla"}),
+         {"exact_warp": "xla", "bilinear_gather": "slab"}),
         ("opt_orbit_d8", opt, op, x96, {}),
     ]
     results = {}

@@ -128,33 +128,44 @@ def _make_kernel(H, W, C, RB, TW, BAND, cx, cy, padding_mode, out_dtype):
         i10 = tab_ref[b, 2]
         i11 = tab_ref[b, 3]
 
+        # --- ct-independent values, hoisted out of the column-tile loop ---
+        # destination pixel coords, COLUMN-major within the (RB, TW) tile
+        # (p = w*RB + r): halving the pixel axis then pairs equal dest
+        # rows, so the final (P, TW*C) -> (RB, TW*C) placement is a
+        # log2(TW) tree of sublane adds instead of a matmul
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        gy = (rt * RB + pidx % RB).astype(jnp.float32)
+        gxw = (pidx // RB).astype(jnp.float32)  # in-tile column, gx - ct*TW
+        dy = gy - cy
+        hiof = jax.lax.broadcasted_iota(  # band row index, as fp32
+            jnp.int32, (P, BAND), 1
+        ).astype(jnp.float32)
+        lxf = (  # lane -> source pixel column, as fp32
+            jax.lax.broadcasted_iota(jnp.int32, (P, (WIN or WC)), 1) // C
+        ).astype(jnp.float32)
+        ljmask = (  # output placement: pixel (w, r) owns lane slot w
+            jax.lax.broadcasted_iota(jnp.int32, (P, TW * C), 1) // C
+            == pidx // RB
+        ).astype(jnp.float32)
+        fdy0 = jnp.float32(rt * RB) - cy
+        fdy1 = fdy0 + (RB - 1)
+
         # column tiles are an in-kernel static loop (the mosaic block-shape
         # contract wants full-lane-width output blocks)
         for ct in range(n_ct):
-            # destination pixel coords, COLUMN-major within the (RB, TW)
-            # tile (p = w*RB + r): halving the pixel axis then pairs equal
-            # dest rows, so the final (P, TW*C) -> (RB, TW*C) placement is
-            # a log2(TW) tree of sublane adds instead of a matmul
-            pidx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-            gy = (rt * RB + pidx % RB).astype(jnp.float32)
-            gx = (ct * TW + pidx // RB).astype(jnp.float32)
+            # (P, 1) source coords: the SAME fp evaluation order as
+            # ops/warp._warp_center_affine (not reassociated through a
+            # ct-hoisted base — a 1-ulp coordinate drift at >128px shifts
+            # tap weights by ~1.4e-5, past the parity budget)
+            gx = jnp.float32(ct * TW) + gxw
             dx = gx - cx
-            dy = gy - cy
-            sx = i00 * dx + i01 * dy + cx  # (P, 1) source coords, same math
-            sy = i10 * dx + i11 * dy + cy  # as ops/warp._warp_center_affine
-            x0f = jnp.floor(sx)
-            y0f = jnp.floor(sy)
-            fx = sx - x0f
-            fy = sy - y0f
-            x0 = x0f.astype(jnp.int32)
-            y0 = y0f.astype(jnp.int32)
+            sx = i00 * dx + i01 * dy + cx
+            sy = i10 * dx + i11 * dy + cy
 
             # band start: floor of the minimum source y over the tile
             # corners (sy is affine in the dest coords -> corners bound it)
             fdx0 = jnp.float32(ct * TW) - cx
             fdx1 = fdx0 + (TW - 1)
-            fdy0 = jnp.float32(rt * RB) - cy
-            fdy1 = fdy0 + (RB - 1)
             corners = jnp.minimum(
                 jnp.minimum(i10 * fdx0 + i11 * fdy0, i10 * fdx0 + i11 * fdy1),
                 jnp.minimum(i10 * fdx1 + i11 * fdy0, i10 * fdx1 + i11 * fdy1),
@@ -201,48 +212,36 @@ def _make_kernel(H, W, C, RB, TW, BAND, cx, cy, padding_mode, out_dtype):
                 xbase_px = 0
                 WW = W
 
-            # vertical pair-interpolation matmul: (P, BAND) @ (BAND, W*C)
+            # Bilinear 2-tap weights at integer position i are the hat
+            # function hat(s - i) = max(0, 1 - |s - i|): for in-range s
+            # this yields EXACTLY the taps-form (1-f, f) pair (s - floor(s)
+            # and 1 - f are both exact fp32 subtractions), and clamping s
+            # first reproduces border mode's fold-the-taps-onto-the-edge
+            # weight sum (a clamped pair sums to hat(0) = 1). zeros mode
+            # needs no clamp: out-of-range taps simply have no lane/row.
             one = jnp.float32(1.0)
             if padding_mode == "border":
-                wy0 = one - fy
-                wy1 = fy
-                wx0 = one - fx
-                wx1 = fx
-            else:  # zeros: out-of-range taps contribute 0 (per-axis)
-                wy0 = (one - fy) * (
-                    (y0 >= 0) & (y0 <= H - 1)
-                ).astype(jnp.float32)
-                wy1 = fy * (
-                    (y0 + 1 >= 0) & (y0 + 1 <= H - 1)
-                ).astype(jnp.float32)
-                wx0 = (one - fx) * (
-                    (x0 >= 0) & (x0 <= W - 1)
-                ).astype(jnp.float32)
-                wx1 = fx * (
-                    (x0 + 1 >= 0) & (x0 + 1 <= W - 1)
-                ).astype(jnp.float32)
-            y0r = jnp.clip(y0, 0, H - 1) - ystart
-            y1r = jnp.clip(y0 + 1, 0, H - 1) - ystart
-            hio = jax.lax.broadcasted_iota(jnp.int32, (P, BAND), 1)
-            # when clamping folds both taps onto one row the weights add —
-            # the same sum the 4-tap gather form produces
-            vy = (hio == y0r).astype(jnp.float32) * wy0 + (
-                hio == y1r
-            ).astype(jnp.float32) * wy1
+                syc = jnp.clip(sy, 0.0, float(H - 1))
+                sxc = jnp.clip(sx, 0.0, float(W - 1))
+            else:
+                syc = sy
+                sxc = sx
+
+            # vertical pair-interpolation matmul: (P, BAND) @ (BAND, W*C)
+            vy = jnp.maximum(
+                0.0, one - jnp.abs((syc - ystart) - hiof)
+            )
             c2 = jax.lax.dot_general(
                 vy, band, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_PRECISION,
             )  # (P, W*C): both-y-interpolated source rows per dest pixel
 
-            # horizontal 2-tap: masked lane compares, then a lane-halving
+            # horizontal 2-tap: hat weights per lane, then a lane-halving
             # tree to sum each pixel's row down to its C channel values
-            lx = jax.lax.broadcasted_iota(jnp.int32, (P, WW * C), 1) // C
-            x0c = jnp.clip(x0, 0, W - 1) - xbase_px
-            x1c = jnp.clip(x0 + 1, 0, W - 1) - xbase_px
-            hx = (lx == x0c).astype(jnp.float32) * wx0 + (
-                lx == x1c
-            ).astype(jnp.float32) * wx1
+            hx = jnp.maximum(
+                0.0, one - jnp.abs((sxc - xbase_px) - lxf[:, : WW * C])
+            )
             m = hx * c2
             wcur = WW
             while wcur % 2 == 0 and wcur > 1:
@@ -259,8 +258,7 @@ def _make_kernel(H, W, C, RB, TW, BAND, cx, cy, padding_mode, out_dtype):
             # halving — each halving adds pixel (w, r) to (w + P/2/RB, r),
             # preserving the dest row r.
             bm = pltpu.repeat(d, TW, axis=1)  # (P, TW*C): d[p, lane % C]
-            lj = jax.lax.broadcasted_iota(jnp.int32, (P, TW * C), 1)
-            bm = bm * (lj // C == pidx // RB).astype(jnp.float32)
+            bm = bm * ljmask
             rows = P
             while rows > RB and (rows // RB) % 2 == 0:
                 rows //= 2
