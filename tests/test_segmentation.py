@@ -222,3 +222,88 @@ def test_mean_average_precision_perfect_and_empty():
         jnp.asarray(valid),
     ))
     assert zero == 0.0, zero
+
+
+def test_mean_average_precision_hand_computed_fixtures():
+    """Pin mean_average_precision_segm to HAND-DERIVED COCO AP values
+    (torchmetrics MeanAveragePrecision(iou_type='segm') semantics,
+    reference examples/images/segmentation/model.py:206-238) on crafted
+    cases where the 101-point AP can be computed analytically — the
+    round-5 fixture check (torchmetrics/pycocotools are not in this
+    image, so the oracle is the arithmetic itself, not a second library).
+
+    Cases: (a) multi-threshold partial IoU, (b) score ties, (c) tied FPs
+    ranked above a TP, (d) duplicate match penalty (greedy unmatched-GT
+    constraint), (e) empty predictions.
+    """
+    import numpy as np
+
+    from equiadapt_tpu.pipelines.segmentation import mean_average_precision_segm
+
+    S = 16
+
+    def run(pred, scores, gt, valid, thresholds=None):
+        kw = {} if thresholds is None else {"thresholds": thresholds}
+        return float(mean_average_precision_segm(
+            jnp.asarray(pred), jnp.asarray(scores), jnp.asarray(gt),
+            jnp.asarray(valid), **kw,
+        ))
+
+    # (a) multi-threshold: 1 pred, 1 gt, IoU exactly 3/4 (pred = 3-px
+    # subset of a 4-px gt: inter=3, union=4 — 0.75 is exact in fp32).
+    # At t in {.5,.55,.6,.65,.7,.75} the single pred is a TP: precision 1
+    # at recall 1 -> 101-pt AP = 1. At t in {.8,.85,.9,.95} it is an FP:
+    # AP = 0. mAP = 6/10 = 0.6.
+    gt = np.zeros((1, 1, S, S), np.float32)
+    gt[0, 0, 4, 2:6] = 1.0
+    pred = np.zeros_like(gt)
+    pred[0, 0, 4, 2:5] = 1.0
+    got = run(pred, np.full((1, 1), 0.9, np.float32), gt,
+              np.ones((1, 1), np.float32))
+    assert abs(got - 0.6) < 1e-6, got
+
+    # (b) score ties, order-independent: two exact-match preds with EQUAL
+    # scores on disjoint gts. Both are TPs whichever tie order the sort
+    # picks -> AP = 1 at every threshold.
+    gt = np.zeros((1, 2, S, S), np.float32)
+    gt[0, 0, 2:5, 2:5] = 1.0
+    gt[0, 1, 8:11, 8:11] = 1.0
+    got = run(gt, np.full((1, 2), 0.5, np.float32), gt,
+              np.ones((1, 2), np.float32))
+    assert abs(got - 1.0) < 1e-6, got
+
+    # (c) tied FPs ranked above a TP: preds 0,1 are empty masks (IoU 0,
+    # FP at every t) with tied score 0.9; pred 2 matches gt2 exactly at
+    # score 0.1. Any tie order gives TP sequence [0, 0, 1]: precision at
+    # rank 3 is 1/3, recall 1/3, n_gt = 3. 101-pt AP: recall points
+    # r in {0.00..0.33} (34 of 101) take max precision 1/3, the rest 0
+    # -> AP = 34/303 at every threshold.
+    gt = np.zeros((1, 3, S, S), np.float32)
+    gt[0, 0, 1:4, 1:4] = 1.0
+    gt[0, 1, 6:9, 6:9] = 1.0
+    gt[0, 2, 11:14, 11:14] = 1.0
+    pred = np.zeros_like(gt)
+    pred[0, 2] = gt[0, 2]
+    scores = np.array([[0.9, 0.9, 0.1]], np.float32)
+    got = run(pred, scores, gt, np.ones((1, 3), np.float32))
+    assert abs(got - 34.0 / 303.0) < 1e-6, (got, 34.0 / 303.0)
+
+    # (d) duplicate match penalty: pred0 = gt0 (score 0.9, TP), pred1 is
+    # ALSO gt0 (score 0.5) — gt0 is already matched, gt1 has IoU 0, so
+    # pred1 is an FP at every t (greedy unmatched-GT constraint).
+    # precision = [1, 1/2], recall = [1/2, 1/2], n_gt = 2. 101-pt AP:
+    # r in {0.00..0.50} (51 points) take max precision over positions
+    # with recall >= r = max(1, 1/2) = 1; r > 0.5 take 0 -> AP = 51/101.
+    gt = np.zeros((1, 2, S, S), np.float32)
+    gt[0, 0, 2:6, 2:6] = 1.0
+    gt[0, 1, 9:13, 9:13] = 1.0
+    pred = np.zeros_like(gt)
+    pred[0, 0] = gt[0, 0]
+    pred[0, 1] = gt[0, 0]
+    scores = np.array([[0.9, 0.5]], np.float32)
+    got = run(pred, scores, gt, np.ones((1, 2), np.float32))
+    assert abs(got - 51.0 / 101.0) < 1e-6, (got, 51.0 / 101.0)
+
+    # (e) empty predictions against real gts -> mAP exactly 0.
+    got = run(np.zeros_like(gt), scores, gt, np.ones((1, 2), np.float32))
+    assert got == 0.0, got
