@@ -794,6 +794,40 @@ def _backend_watchdog(timeout_s: float = 900.0):
     return disarm
 
 
+def _exec_preflight(timeout_s: float = 180.0) -> None:
+    """Run one tiny jit on the device under a watchdog.
+
+    Round-5 incident: devices() enumerated and compiles returned, but the
+    TPU worker was wedged and every EXECUTION blocked forever (a killed
+    client left a hung device program). A bench that hangs is worse than
+    one that fails — the driver window burns with no artifact. Exit 43
+    with a diagnosis instead."""
+    import os
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    done = threading.Event()
+
+    def arm():
+        if not done.wait(timeout_s):
+            print(
+                "bench.py: device EXECUTION did not complete within "
+                f"{timeout_s:.0f}s (worker wedged? compiles fine, execs "
+                "hang) — aborting",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(43)
+
+    threading.Thread(target=arm, daemon=True).start()
+    v = float(jax.jit(lambda a: (a @ a).sum())(jnp.ones((256, 256))))
+    done.set()
+    if v != 256.0 * 256.0:
+        raise RuntimeError(f"exec preflight wrong result: {v}")
+
+
 def smoke() -> int:
     """Full-path hardware smoke: one real canonicalize pass per
     {family x warp_mode x kernel-path knob} on the attached backend.
@@ -978,12 +1012,14 @@ def main() -> None:
 
         jax.devices()
         disarm()
+        _exec_preflight()
         sys.exit(smoke())
     disarm = _backend_watchdog()
     import jax
 
     jax.devices()  # backend init — the hang point when the relay is dead
     disarm()
+    _exec_preflight()
     m = bench_jax()
     try:
         torch_ips = bench_torch_cpu()

@@ -66,19 +66,20 @@ def _exact_warp(x: Array, R: Array, padding_mode: str, training: bool) -> Array:
     gradients flow through the sample coordinates (reference parity,
     kornia warp_affine autodiff at continuous_group.py:207).
     """
-    if (
-        not training
-        and isinstance(x.shape[0], int)  # symbolic-batch export falls back
-        and jax.default_backend() == "tpu"
-    ):
+    if not training and isinstance(x.shape[0], int):
+        # symbolic-batch export falls back to the XLA form
         from equiadapt_tpu.kernel_options import current_kernel_options
 
-        if current_kernel_options().exact_warp == "pallas":
+        ew = current_kernel_options().exact_warp
+        interpret = ew == "interpret"  # CPU fused-graph coverage knob
+        if interpret or (ew == "pallas" and jax.default_backend() == "tpu"):
             from equiadapt_tpu.ops.pallas.bilinear_warp import (
                 warp_rotate_center_exact,
             )
 
-            y = warp_rotate_center_exact(x, R, padding_mode)
+            y = warp_rotate_center_exact(
+                x, R, padding_mode, interpret=interpret
+            )
             if y is not None:  # None: no efficient tiling for this shape
                 return y
     return _warp_center_affine(x, R, padding_mode)

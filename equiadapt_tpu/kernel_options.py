@@ -70,7 +70,11 @@ class KernelOptions:
     exact_warp: continuous-family exact-mode warp implementation
         ("pallas" = in-VMEM gather-compose kernel
         (``ops/pallas/bilinear_warp.py``) on TPU for eval, XLA elsewhere;
-        "xla" = always the dynamic-gather ``bilinear_sample`` form).
+        "xla" = always the dynamic-gather ``bilinear_sample`` form;
+        "interpret" = force the pallas kernel in interpret mode on any
+        backend — lets the CPU suite drive the FUSED canonicalize graph
+        through the kernel, the round-4 lesson that standalone-op checks
+        miss fused-graph failures).
     """
 
     bilinear_gather: str = "taps"
@@ -88,10 +92,10 @@ class KernelOptions:
                 raise ValueError(
                     f"KernelOptions.{name} must be one of {allowed}, got {val!r}"
                 )
-        if self.exact_warp not in ("pallas", "xla"):
+        if self.exact_warp not in ("pallas", "xla", "interpret"):
             raise ValueError(
-                "KernelOptions.exact_warp must be 'pallas' or 'xla', "
-                f"got {self.exact_warp!r}"
+                "KernelOptions.exact_warp must be 'pallas', 'xla' or "
+                f"'interpret', got {self.exact_warp!r}"
             )
         if not isinstance(self.select_pair, int) or self.select_pair < 1:
             raise ValueError(

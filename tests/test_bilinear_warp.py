@@ -124,3 +124,42 @@ def test_dispatch_xla_fallback_off_tpu():
     with kernel_options(exact_warp="xla"):
         got = _exact_warp(x, R, "border", training=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_canonicalize_graph_through_interpret_kernel():
+    """Drive the FULL steerable exact-mode canonicalize (energy net ->
+    angle -> warp) through the pallas kernel in interpret mode and compare
+    against the XLA-warp graph — the round-4 lesson: standalone-op checks
+    pass while the fused energy+warp graph fails, so the fused graph needs
+    kernel-path coverage on CPU too (exact_warp="interpret")."""
+    from equiadapt_tpu.images.canonicalization.continuous_group import (
+        SteerableImageCanonicalization,
+    )
+    from equiadapt_tpu.images.networks.steerable import SteerableNetwork
+    from equiadapt_tpu.kernel_options import kernel_options
+
+    rng = np.random.default_rng(7)
+    net = SteerableNetwork(
+        in_channels=3, out_channels=4, kernel_size=3, num_layers=1
+    )
+    canon = SteerableImageCanonicalization(
+        canonicalization_network=net, in_shape=(32, 32, 3),
+        input_crop_ratio=0.9, resize_shape=16, warp_mode="exact",
+    )
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    params = canon.init(jax.random.key(0), x, training=False)
+
+    with kernel_options(exact_warp="xla"):
+        ref, info_ref = jax.jit(
+            lambda p, a: canon.apply(p, a, training=False)
+        )(params, x)
+    with kernel_options(exact_warp="interpret"):
+        got, info_got = jax.jit(
+            lambda p, a: canon.apply(p, a, training=False)
+        )(params, x)
+    # identical angle selection, warp within kernel parity tolerance
+    np.testing.assert_array_equal(
+        np.asarray(info_got.element.rotation), np.asarray(info_ref.element.rotation)
+    )
+    d = float(jnp.max(jnp.abs(got - ref)))
+    assert d < 2e-6, d
