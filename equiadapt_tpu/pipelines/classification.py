@@ -221,9 +221,16 @@ def make_train_step(
     loss_kwargs: Dict[str, Any],
     rng_names: Tuple[str, ...] = ("dropout",),
     jit: bool = True,
+    watch_gradients: bool = False,
 ):
     """Build the training step (jitted with donated state by default; pass
-    jit=False to wrap with parallel.mesh.data_parallel_jit instead)."""
+    jit=False to wrap with parallel.mesh.data_parallel_jit instead).
+
+    watch_gradients=True adds in-jit `grad/<top-level-subtree>/norm` +
+    `grad/global_norm` to the step metrics — the device-side half of the
+    reference's `wandb.watch(model, log="all")` hook
+    (examples/images/classification/train.py:92-97); pair with
+    `utils.metrics.gradient_watch` for host-side histograms."""
 
     def train_step(state: TrainState, batch: Dict[str, Array], rng: jax.Array):
         rngs = dict(zip(rng_names, jax.random.split(jax.random.fold_in(rng, state.step), len(rng_names))))
@@ -244,6 +251,16 @@ def make_train_step(
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if watch_gradients:
+            sq = jax.tree_util.tree_map(
+                lambda g: jnp.sum(jnp.square(g.astype(jnp.float32))), grads
+            )
+            total = jnp.zeros(())
+            for name, sub in sq.items():
+                s = sum(jax.tree_util.tree_leaves(sub))
+                metrics[f"grad/{name}/norm"] = jnp.sqrt(s)
+                total = total + s
+            metrics["grad/global_norm"] = jnp.sqrt(total)
         new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         return new_state, metrics
 

@@ -115,6 +115,9 @@ class ExperimentConfig:
     # jax.profiler trace of the first training steps (utils/profiling.py)
     profile: bool = False
     profile_dir: str = "/tmp/eqt_profile"
+    # in-jit per-subtree gradient norms in the step metrics — the
+    # reference's wandb.watch(model, log="all") analog (train.py:92-97)
+    watch_gradients: bool = False
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-__all__ = ["MetricLogger", "EarlyStopping", "assert_finite_loss", "save_canonized_images"]
+__all__ = ["MetricLogger", "EarlyStopping", "assert_finite_loss", "save_canonized_images", "gradient_watch"]
 
 
 class MetricLogger:
@@ -129,3 +129,41 @@ def save_canonized_images(path: str, originals, canonized, max_images: int = 8) 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     Image.fromarray(grid).save(path)
     return path
+
+
+def gradient_watch(grads, max_bins: int = 16) -> Dict[str, Any]:
+    """Per-subtree gradient statistics — the `wandb.watch(model, log="all")`
+    analog (reference examples/images/classification/train.py:92-97 attaches
+    wandb's gradient/parameter histogram hooks).
+
+    Returns a flat dict of `grad/<path>/{norm,absmax}` host floats plus a
+    `grad/global_norm` scalar and, per leaf, a fixed-bin log10-|g| histogram
+    (as a list, JSONL-friendly; wandb consumers can wrap it in
+    `wandb.Histogram`). Call on the grad pytree a train step already
+    computes — a pure host-side summary, no extra device work beyond the
+    reductions.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    out: Dict[str, Any] = {}
+    sq_total = 0.0
+    for path, leaf in flat:
+        name = "/".join(
+            getattr(p, "key", getattr(p, "idx", None)).__str__() for p in path
+        )
+        a = np.asarray(jnp.abs(leaf.astype(jnp.float32)))
+        if a.size == 0:
+            continue
+        n = float(np.sqrt((a.astype(np.float64) ** 2).sum()))
+        sq_total += n * n
+        out[f"grad/{name}/norm"] = n
+        out[f"grad/{name}/absmax"] = float(a.max())
+        # log10 histogram over [1e-12, 1e4): clamped, fixed edges so rows
+        # are comparable across steps
+        lg = np.log10(np.clip(a[a > 0], 1e-12, 1e4 - 1e-9)) if (a > 0).any() else np.array([])
+        hist, _ = np.histogram(lg, bins=max_bins, range=(-12.0, 4.0))
+        out[f"grad/{name}/log10_hist"] = hist.tolist()
+    out["grad/global_norm"] = float(np.sqrt(sq_total))
+    return out

@@ -153,7 +153,11 @@ def main(argv) -> None:
     n_dev = min(cfg.experiment.num_devices, jax.device_count())
     mesh = make_mesh(n_dev)
     step = data_parallel_jit(
-        make_train_step(loss_kwargs, jit=False), mesh, num_extra_args=1
+        make_train_step(
+            loss_kwargs, jit=False,
+            watch_gradients=cfg.experiment.watch_gradients,
+        ),
+        mesh, num_extra_args=1,
     )
     state = replicate(state, mesh)
     eval_step = make_eval_step(loss_kwargs)

@@ -263,3 +263,31 @@ def test_remat_pipeline_matches_plain_gradients():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_watch_gradients_metrics_and_host_histograms():
+    """watch_gradients=True adds in-jit grad norms to step metrics (the
+    reference's wandb.watch analog, train.py:92-97); gradient_watch builds
+    host-side histograms from a grad pytree."""
+    from equiadapt_tpu.utils.metrics import gradient_watch
+
+    pipe = _image_pipeline()
+    batch = synthetic_image_batch(KEY, 8, size=16)
+    tx = make_optimizer(architecture="resnet18", learning_rate=1e-2,
+                        canonicalization_learning_rate=1e-3)
+    state = create_train_state(pipe, jax.random.key(1), batch["image"], tx)
+    step = make_train_step({"prior_weight": 1.0}, watch_gradients=True)
+    state, metrics = step(state, batch, jax.random.key(2))
+    gkeys = [k for k in metrics if k.startswith("grad/")]
+    assert "grad/global_norm" in metrics
+    assert len(gkeys) >= 2  # at least one subtree + the global norm
+    gn = float(metrics["grad/global_norm"])
+    assert np.isfinite(gn) and gn > 0.0
+    # subtree norms compose to the global norm
+    sub = [float(metrics[k]) ** 2 for k in gkeys if k != "grad/global_norm"]
+    np.testing.assert_allclose(np.sqrt(sum(sub)), gn, rtol=1e-5)
+
+    hw = gradient_watch({"a": jnp.asarray([3.0, 4.0]), "b": jnp.zeros((2, 2))})
+    np.testing.assert_allclose(hw["grad/a/norm"], 5.0)
+    np.testing.assert_allclose(hw["grad/global_norm"], 5.0)
+    assert sum(hw["grad/a/log10_hist"]) == 2
