@@ -539,12 +539,24 @@ def bench_jax() -> dict:
         bare(resnet_bf16), (res_params_bf16, xp2),
         wrapped(canon_c4, resnet_bf16), (canon_c4_params, res_params_bf16, xp2),
     )
+    # bf16-INPUT serving row: a production bf16 pipeline's loader emits
+    # bf16, so both legs read a bf16 batch — this removes the fp32->bf16
+    # input-cast pass (154 MB read + 77 MB write at 224px/256) from the
+    # wrapped leg and the fused stem-side convert from the bare leg.
+    # Reported alongside (not instead of) the fp32-input headline.
+    xb2 = pool2(x.astype(jnp.bfloat16), eps=1e-2)
+    b16i, w16i, d16i, ci16i = paired_overhead(
+        bare(resnet_bf16), (res_params_bf16, xb2),
+        wrapped(canon_serving, resnet_bf16), (canon_params, res_params_bf16, xb2),
+    )
     out.update({
         "bare_fp32_ms": b32, "wrapped_fp32_exact_ms": w32,
         "bare_bf16_ms": b16, "wrapped_bf16_fast_ms": w16,
         "overhead_fp32_exact_ms": d32, "overhead_fp32_exact_ci_ms": ci32,
         "overhead_bf16_fast_ms": d16, "overhead_bf16_fast_ci_ms": ci16,
         "overhead_bf16_fast_c4_ms": d16c4, "overhead_bf16_fast_c4_ci_ms": ci16c4,
+        "bare_bf16_input_ms": b16i, "wrapped_bf16_input_ms": w16i,
+        "overhead_bf16_input_ms": d16i, "overhead_bf16_input_ci_ms": ci16i,
     })
     out["tput_fast_img_s"] = BATCH_TPU / out["tput_fast_ms"] * 1e3
     out["tput_exact_img_s"] = BATCH_TPU / out["tput_exact_ms"] * 1e3
@@ -1047,6 +1059,13 @@ def main() -> None:
                 "wrapper_overhead_c4_ci_ms": round(
                     m["overhead_bf16_fast_c4_ci_ms"], 3
                 ),
+                "wrapper_overhead_pct_bf16_input": round(
+                    100.0 * m["overhead_bf16_input_ms"] / m["bare_bf16_input_ms"], 2
+                ),
+                "wrapper_overhead_bf16_input_ci_ms": round(
+                    m["overhead_bf16_input_ci_ms"], 3
+                ),
+                "bare_resnet50_bf16_input_ms": round(m["bare_bf16_input_ms"], 2),
                 "wrapper_overhead_pct_fp32_exact": round(
                     m["overhead_fp32_exact_pct"], 2
                 ),
