@@ -173,6 +173,17 @@ def _make_kernel(H, W, C, RB, TW, BAND, cx, cy, padding_mode, out_dtype):
                 jnp.minimum(i10 * fdx0 + i11 * fdy0, i10 * fdx0 + i11 * fdy1),
                 jnp.minimum(i10 * fdx1 + i11 * fdy0, i10 * fdx1 + i11 * fdy1),
             ) + cy
+            # DMA-safety guard: a non-finite coefficient table (e.g. the
+            # degenerate zero-vector -> NaN rotation a steerable net emits
+            # on an all-zeros init batch) must NOT reach the dynamic slice
+            # start — int32(NaN/inf) is undefined and an out-of-bounds
+            # sublane DMA hangs the TPU worker (round-5 incident). The
+            # clip below bounds finite garbage; this bounds NaN/inf. Tap
+            # WEIGHTS keep the NaN (sy/sx untouched), so outputs stay NaN
+            # like the XLA gather path — only the address math is fenced.
+            corners = jnp.where(
+                jnp.isfinite(corners), corners, jnp.float32(0.0)
+            )
             y0min = jnp.floor(corners).astype(jnp.int32)
             if BAND == H:
                 ystart = 0
@@ -194,6 +205,9 @@ def _make_kernel(H, W, C, RB, TW, BAND, cx, cy, padding_mode, out_dtype):
                         i00 * fdx1 + i01 * fdy0, i00 * fdx1 + i01 * fdy1
                     ),
                 ) + cx
+                xcorners = jnp.where(
+                    jnp.isfinite(xcorners), xcorners, jnp.float32(0.0)
+                )  # same DMA-safety fence as the y band start
                 xbase_px = jnp.clip(
                     jnp.floor(xcorners).astype(jnp.int32), 0, W - WIN // C
                 )

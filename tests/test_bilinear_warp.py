@@ -163,3 +163,26 @@ def test_fused_canonicalize_graph_through_interpret_kernel():
     )
     d = float(jnp.max(jnp.abs(got - ref)))
     assert d < 2e-6, d
+
+
+def test_nan_rotation_produces_nan_pixels_not_wild_addresses():
+    """A degenerate (zero-vector -> NaN) rotation matrix must produce NaN
+    OUTPUTS, never undefined slice addresses: int32(NaN) fed to the band
+    DMA start hung the TPU worker in round 5 (bench inits the steerable
+    canonicalizer on an all-zeros batch, whose predicted vector normalizes
+    to NaN). The kernel fences the address math (corners isfinite guard)
+    while leaving tap weights NaN — matching the XLA gather path's
+    NaN-in/NaN-out."""
+    from equiadapt_tpu.common.math import rotmat_2d_from_vector
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    R_nan = rotmat_2d_from_vector(jnp.zeros((1, 2)))
+    R_ok = _rotations([0.3])
+    R = jnp.concatenate([R_nan, R_ok])
+    out = warp_rotate_center_exact(x, R, "border", interpret=True)
+    assert bool(jnp.isnan(out[0]).all()), "degenerate sample must be all-NaN"
+    ref = _warp_center_affine(x[1:], R_ok, "border")
+    np.testing.assert_allclose(
+        np.asarray(out[1]), np.asarray(ref[0]), rtol=1e-4, atol=1e-5
+    )
