@@ -95,8 +95,19 @@ def _bilinear_sample_slab(
     cdt = jnp.promote_types(x.dtype, jnp.float32)
     sx = src_x.astype(cdt)
     sy = src_y.astype(cdt)
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
+    # Poison fence: int32(NaN/inf) is POISON in MLIR/LLVM semantics and
+    # propagates through jnp.clip (max/min of poison stays poison), so a
+    # degenerate coordinate (zero-vector -> NaN rotation on an all-zeros
+    # init batch) reaches the PROMISE_IN_BOUNDS gather as a wild index —
+    # the likeliest mechanism of the round-4 slab fault (BENCH_r04 rc=1;
+    # the taps form survives because jnp.take clamps INSIDE the gather
+    # op). Route non-finite coordinates far out of range instead: the
+    # weights below still see the original NaN (fx/fy), so outputs stay
+    # NaN exactly like the taps form.
+    sxf = jnp.where(jnp.isfinite(sx), sx, jnp.asarray(-2.0 * W, cdt))
+    syf = jnp.where(jnp.isfinite(sy), sy, jnp.asarray(-2.0 * H, cdt))
+    x0 = jnp.floor(sxf)
+    y0 = jnp.floor(syf)
     fx = (sx - x0).reshape(N)
     fy = (sy - y0).reshape(N)
     x0i = x0.astype(jnp.int32)

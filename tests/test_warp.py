@@ -206,3 +206,24 @@ def test_bilinear_slab_gradients_match():
     np.testing.assert_allclose(
         np.asarray(g_ref), np.asarray(g_slab), rtol=1e-6, atol=1e-6
     )
+
+
+def test_slab_gather_nonfinite_coordinate_fence():
+    """Non-finite sample coordinates (zero-vector -> NaN rotation on an
+    all-zeros init batch) must produce the taps form's NaN pattern, never
+    wild PROMISE_IN_BOUNDS indices — int32(NaN) reaching an unclamped
+    gather is the likeliest round-4 slab TPU fault (BENCH_r04 rc=1)."""
+    from equiadapt_tpu.ops.warp import _bilinear_sample_slab, bilinear_sample
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    sx = jnp.asarray(rng.uniform(-3, 19, size=(2, 16, 16)).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-3, 19, size=(2, 16, 16)).astype(np.float32))
+    sx = sx.at[0, 0, 0].set(jnp.nan)
+    sy = sy.at[0, 0, 1].set(jnp.inf)
+    sy = sy.at[1, 2, 3].set(-jnp.inf)
+    for pm in ("zeros", "border"):
+        a = np.asarray(_bilinear_sample_slab(x, sx, sy, pm))
+        b = np.asarray(bilinear_sample(x, sx, sy, pm))
+        assert (np.isnan(a) == np.isnan(b)).all()
+        assert np.nanmax(np.abs(a - b)) == 0.0
