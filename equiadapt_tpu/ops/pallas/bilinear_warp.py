@@ -78,16 +78,19 @@ def exact_warp_tiling(H: int, W: int) -> Optional[Tuple[int, int, int]]:
     """(RB, TW, BAND) destination tile + source band height for an (H, W)
     image, or None when no efficient tiling exists (degenerate sizes).
 
-    For a fixed pixel budget P = RB*TW ~ 512, the band height (and with it
-    the matmul contraction) scales with TW + RB + margin, which TW = RB =
-    ~22 would minimize; TW = 32 / RB = 16 gives the SAME 64-row band as the
-    round-5 original TW = 16 / RB = 32 (the +19 margin rounds both to 64)
-    while halving the unrolled column-tile count — half the Mosaic program,
-    half the per-tile fixed costs (band slice, corner math).
+    TW ~ 16 keeps the band (and with it the matmul contraction) small —
+    total MXU FLOPs scale with BAND = TW + RB + margin, not with the tile
+    area — while RB fills the sublane dimension (P = RB*TW ~ 512).
+
+    Round-5 hardware A/B at 224px/batch 256 (fori-amortized, .scratch
+    stage_f): (RB=32, TW=16) 126.8 ms beats (16, 32) 167.0, (8, 32)
+    170.1, and (32, 32) VMEM-OOMs at 24.5M/16M — same per-pass FLOP
+    accounting, so the grid-step count (B * H/RB) dominates: fewer, taller
+    row tiles win. Keep TW at 16.
     """
     if H < 2 or W < 2:
         return None
-    TW = _largest_divisor_leq(W, 32)
+    TW = _largest_divisor_leq(W, 16)
     if TW < 8:  # tiny divisors => degenerate matmuls; widen the tile
         TW = _largest_divisor_leq(W, 128)
     RB = _largest_divisor_leq(H, max(1, 512 // TW))
