@@ -58,6 +58,19 @@ __all__ = ["warp_rotate_center_exact", "exact_warp_tiling"]
 # and mosaic does not lower Precision.HIGH, so HIGHEST it is; the lane
 # window (below) keeps the extra passes cheap.
 _PRECISION = jax.lax.Precision.HIGHEST
+# Round-5 hardware A/B (.scratch stage_g, 224px/batch 256): a manual
+# 3-limb 4-pass bf16 vertical matmul ties HIGHEST exactly (127.6 vs
+# 127.5 ms) at 36x worse parity (2.6e-5 vs 7.2e-7) — the kernel is NOT
+# MXU-bound, so HIGHEST's extra passes are free and precision stays.
+
+
+def _vmatmul(vy, band):
+    """Vertical pair-interpolation contraction (P, BAND) @ (BAND, WC)."""
+    return jax.lax.dot_general(
+        vy, band, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )
 # Lane window (dynamic roll + crop of the band before the matmul): cuts
 # matmul MACs 672->384 lanes at 224px/C3, but the measured cost of the
 # dynamic lane rotate + concat relayouts (~2.4us/tile) EXCEEDS the matmul
@@ -251,11 +264,7 @@ def _make_kernel(H, W, C, RB, TW, BAND, cx, cy, padding_mode, out_dtype):
             vy = jnp.maximum(
                 0.0, one - jnp.abs((syc - ystart) - hiof)
             )
-            c2 = jax.lax.dot_general(
-                vy, band, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_PRECISION,
-            )  # (P, W*C): both-y-interpolated source rows per dest pixel
+            c2 = _vmatmul(vy, band)  # (P, W*C): both-y-interpolated rows
 
             # horizontal 2-tap: hat weights per lane, then a lane-halving
             # tree to sum each pixel's row down to its C channel values
